@@ -1,0 +1,186 @@
+"""RK4 IMU preintegration and the 9-D visual-inertial residual.
+
+Re-derivation of the reference's jet-typed integration chain
+(reference: include/vicalib/ceres-cost-functions.h:38-227 and types.h:330-687)
+as pure JAX: ``lax.scan`` over measurement intervals, ``vmap`` over factors,
+autodiff end-to-end — including through the camera<->IMU time offset, which
+enters via differentiable re-interpolation of the measurement window
+(the jet-typed ``GetRange`` trick, ceres-cost-functions.h:393-400 /
+interpolation-buffer.h:208-226).
+
+State layout: 10-vector ``y = [t(3), q(4, xyzw), v(3)]`` (matches ImuPoseT's
+operator Matrix<10,1>, types.h:188-194).  The quaternion is deliberately NOT
+renormalized inside the chain, matching the reference's memcpy-without-
+normalization (types.h:344-345).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import so3
+
+GRAVITY_MAG = 9.8007  # types.h:40-42
+
+
+def gravity_vector(g_dir, mag=GRAVITY_MAG):
+    """2-angle direction -> 3-vector (types.h:93-104)."""
+    p, q = g_dir[..., 0], g_dir[..., 1]
+    sp, cp = jnp.sin(p), jnp.cos(p)
+    sq, cq = jnp.sin(q), jnp.cos(q)
+    return -mag * jnp.stack([cp * sq, -sp, cp * cq], axis=-1)
+
+
+def _pose_derivative(y, zg, za, bg, ba, sf, g_w):
+    """k = [v, omega_world, a_world] (GetPoseDerivativeJet, cost-functions.h:80-105)."""
+    q = y[3:7]
+    v = y[7:10]
+    omega = so3.rotate(q, zg * sf[:3] + bg)
+    accel = so3.rotate(q, za * sf[3:] + ba) - g_w
+    return jnp.concatenate([v, omega, accel])
+
+
+def _integrate_pose(y, k, dt):
+    """Euler step of the state given derivative k (IntegratePoseJet, :38-56).
+
+    Rotation integrates as q_new = exp(omega*dt) * q (left/world increment),
+    translation and velocity as straight Euler.  No renormalization.
+    """
+    t = y[0:3] + k[0:3] * dt
+    dq = so3.exp(k[3:6] * dt)
+    q = so3.quat_mul(dq, y[3:7])
+    v = y[7:10] + k[6:9] * dt
+    return jnp.concatenate([t, q, v])
+
+
+def _interp_meas(z_start_g, z_end_g, z_start_a, z_end_a, t_start, t_end, dt):
+    """Linear interpolation at offset dt into [t_start, t_end]
+    (GetPoseDerivativeJet's alpha blend, cost-functions.h:86-90)."""
+    denom = t_end - t_start
+    safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    alpha = (t_end - (t_start + dt)) / safe
+    zg = z_start_g * alpha + z_end_g * (1.0 - alpha)
+    za = z_start_a * alpha + z_end_a * (1.0 - alpha)
+    return zg, za
+
+
+def integrate_interval(y, t_start, t_end, zg0, zg1, za0, za1, bg, ba, sf, g_w):
+    """One RK4 step across a measurement interval (IntegrateImuJet, :139-177).
+
+    Degenerate intervals (t_end == t_start, from window padding/clipping) are
+    exact no-ops, as in the reference's early return (:150-152).
+    """
+    dt = t_end - t_start
+
+    def deriv(y_at, frac_dt):
+        zg, za = _interp_meas(zg0, zg1, za0, za1, t_start, t_end, frac_dt)
+        return _pose_derivative(y_at, zg, za, bg, ba, sf, g_w)
+
+    # Guard dt==0 *inside* the arithmetic so no NaN leaks into gradients.
+    zero = jnp.abs(dt) < 1e-12
+    safe_dt = jnp.where(zero, 1.0, dt)
+
+    k1 = deriv(y, 0.0 * safe_dt)
+    y1 = _integrate_pose(y, k1, safe_dt * 0.5)
+    k2 = deriv(y1, safe_dt / 2.0)
+    y2 = _integrate_pose(y, k2, safe_dt * 0.5)
+    k3 = deriv(y2, safe_dt / 2.0)
+    y3 = _integrate_pose(y, k3, safe_dt)
+    k4 = deriv(y3, safe_dt)
+    k = k1 + 2.0 * k2 + 2.0 * k3 + k4
+    y_new = _integrate_pose(y, k, safe_dt / 6.0)
+    return jnp.where(zero, y, y_new)
+
+
+def virtual_sequence(win_times, win_gyro, win_accel, start, end, time_offset):
+    """Build the differentiable measurement sequence for one factor.
+
+    Reproduces GetRange(start, end, offset) semantics with static shapes:
+    every window slot's image-clock time is clipped to [start, end]; clipped
+    slots re-interpolate the raw stream at the clip point, giving exactly the
+    reference's interpolated endpoints; out-of-range slots collapse to
+    zero-length intervals (no-ops in integration).  ``time_offset`` stays in
+    the autodiff graph through both the slot times and the interpolation.
+
+    Args:
+      win_times: (M,) raw stamps (monotone); win_gyro/win_accel: (M, 3).
+    Returns:
+      seq_times: (M,) image-clock times, monotone, clipped to [start, end]
+      seq_gyro, seq_accel: (M, 3) values at those times
+    """
+    shifted = win_times + time_offset
+    seq_times = jnp.clip(shifted, start, end)
+    raw_query = seq_times - time_offset
+
+    def interp_channel(vals):
+        return jnp.interp(raw_query, win_times, vals)
+
+    seq_gyro = jax.vmap(interp_channel, in_axes=1, out_axes=1)(win_gyro)
+    seq_accel = jax.vmap(interp_channel, in_axes=1, out_axes=1)(win_accel)
+    return seq_times, seq_gyro, seq_accel
+
+
+def integrate_sequence(y0, seq_times, seq_gyro, seq_accel, bg, ba, sf, g_w):
+    """Chain RK4 across the sequence (IntegrateResidualJet, :199-227)."""
+
+    def step(y, inp):
+        t0, t1, zg0, zg1, za0, za1 = inp
+        y_new = integrate_interval(y, t0, t1, zg0, zg1, za0, za1,
+                                   bg, ba, sf, g_w)
+        return y_new, None
+
+    inputs = (seq_times[:-1], seq_times[1:], seq_gyro[:-1], seq_gyro[1:],
+              seq_accel[:-1], seq_accel[1:])
+    y_end, _ = jax.lax.scan(step, y0, inputs)
+    return y_end
+
+
+def imu_factor_residual(T_wx1, v1, T_wx2, v2, win_times, win_gyro, win_accel,
+                        start, end, g_dir, bg, ba, sf, time_offset,
+                        has_meas, weight_sqrt=None, rotation_only=False):
+    """The 9-D switched VI residual (SwitchedFullImuCostFunction, :379-490).
+
+    r[0:6] = log(T_end * T_wx2^-1)   (SE3 log, [trans, rot] order)
+    r[6:9] = v_end - v2
+    then r <- weight_sqrt @ r, and in the rotation-only stage the translation
+    and velocity components are zeroed (:479-482).  Factors with no
+    measurements return zeros (:452-455).
+    """
+    from ..geometry import se3
+
+    g_w = gravity_vector(g_dir)
+    q1, t1 = T_wx1
+    y0 = jnp.concatenate([t1, q1, v1])
+    seq_t, seq_g, seq_a = virtual_sequence(
+        win_times, win_gyro, win_accel, start, end, time_offset)
+    y_end = integrate_sequence(y0, seq_t, seq_g, seq_a, bg, ba, sf, g_w)
+
+    t_end = y_end[0:3]
+    q_end = y_end[3:7]
+    q_end = q_end / jnp.linalg.norm(q_end)
+    v_end = y_end[7:10]
+
+    T_end = (q_end, t_end)
+    delta = se3.mul(T_end, se3.inverse(T_wx2))
+    r = jnp.concatenate([se3.log(delta), v_end - v2])
+    if weight_sqrt is not None:
+        r = weight_sqrt @ r
+    mask = jnp.where(rotation_only,
+                     jnp.array([0., 0., 0., 1., 1., 1., 0., 0., 0.],
+                               dtype=r.dtype),
+                     jnp.ones(9, dtype=r.dtype))
+    r = r * mask
+    return jnp.where(has_meas, r, jnp.zeros_like(r))
+
+
+def end_state(T_wx1, v1, win_times, win_gyro, win_accel, start, end,
+              g_dir, bg, ba, sf, time_offset):
+    """Integrated end state y = [t, q, v] for covariance propagation / display
+    (reference analog: IntegrateResidual used by UpdateImuWeights and
+    GetIntegrationPoses, vicalibrator.h:508-533, 723-799)."""
+    g_w = gravity_vector(g_dir)
+    q1, t1 = T_wx1
+    y0 = jnp.concatenate([t1, q1, v1])
+    seq_t, seq_g, seq_a = virtual_sequence(
+        win_times, win_gyro, win_accel, start, end, time_offset)
+    return integrate_sequence(y0, seq_t, seq_g, seq_a, bg, ba, sf, g_w)

@@ -1,0 +1,283 @@
+"""Visual-inertial sequence simulator (the framework's ``vi_sim`` fixture).
+
+Generates, from analytic smooth trajectories, everything the calibrator
+consumes — target-corner observations per camera per frame, and IMU streams
+with biases/scale-factors/gravity/time-offset baked in — plus the ground truth
+to validate against.  Replaces the reference's downloaded ``vi_sim`` fixture
+(reference: testing/CMakeLists.txt:32-46, testing/vi_sim_test.cpp:12-95) with a
+first-party generator, as all BASELINE configs require simulated sequences.
+
+Conventions (all matching the reference's math, see solver/residuals.py):
+
+- ``T_wk``: rig (IMU) pose, world-from-rig.  Reprojection uses
+  ``p_cam = T_ck * T_wk^-1 * p_world`` (ceres-cost-functions.h:367).
+- gravity ``g_w = -g * (cos(p)sin(q), -sin(p), cos(p)cos(q))`` with
+  ``g = 9.8007`` (types.h:93-104, 40-42).
+- IMU model (types.h:380-425): ``omega_world = R (z_g * sf_g + b_g)``,
+  ``a_world = R (z_a * sf_a + b_a) - g_w`` — note the reference's *additive*
+  bias convention (bias added to the raw reading, not subtracted).
+- time offset: an IMU sample recorded at buffer time ``tau`` occurred at image
+  clock ``tau + time_offset`` (interpolation-buffer.h:109-124 adds the offset
+  to buffer timestamps before comparing with frame times); so recorded IMU
+  stamps are ``t_true - time_offset``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import get_model
+from ..geometry import se3, so3
+from ..targets.grid import TargetGrid, make_target
+
+GRAVITY_MAG = 9.8007  # m/s^2 (types.h:40-42)
+
+
+def gravity_vector(g_dir, mag=GRAVITY_MAG):
+    """2-angle gravity direction -> 3-vector (types.h:93-104)."""
+    p, q = g_dir[..., 0], g_dir[..., 1]
+    sp, cp = jnp.sin(p), jnp.cos(p)
+    sq, cq = jnp.sin(q), jnp.cos(q)
+    return -mag * jnp.stack([cp * sq, -sp, cp * cq], axis=-1)
+
+
+# RDF permutation vision<-robotics; the reference's ground-truth T_ck for a
+# robotics-convention rig (testing/vi_sim_test.cpp:70-74).
+RDF_ROBOTICS_T_CK = np.array([
+    [0.0, 1.0, 0.0],
+    [0.0, 0.0, 1.0],
+    [1.0, 0.0, 0.0],
+])
+
+
+@dataclasses.dataclass
+class SimRigCamera:
+    model: str                    # camera model name
+    params: np.ndarray            # true intrinsics
+    T_ck: tuple                   # true rig->camera pose (q, t)
+    width: int = 800
+    height: int = 600
+
+
+@dataclasses.dataclass
+class SimConfig:
+    cameras: Sequence[SimRigCamera]
+    target: TargetGrid
+    n_frames: int = 80
+    frame_rate: float = 10.0
+    imu_rate: float = 200.0
+    # IMU intrinsics ground truth
+    gyro_bias: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+    accel_bias: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+    gyro_scale: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3))
+    accel_scale: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3))
+    g_dir: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.15, -0.1]))
+    time_offset: float = 0.0
+    # noise
+    pixel_noise: float = 0.0
+    gyro_noise: float = 0.0
+    accel_noise: float = 0.0
+    seed: int = 0
+    # trajectory shape
+    orbit_radius: float = 0.35
+    distance: float = 0.55
+    wobble: float = 0.25
+
+
+@dataclasses.dataclass
+class SimData:
+    config: SimConfig
+    frame_times: np.ndarray          # (F,) image-clock timestamps
+    T_wk: tuple                      # true rig poses ((F,4), (F,3))
+    v_w: np.ndarray                  # (F,3) true world velocities
+    pixels: np.ndarray               # (C, F, P, 2) projected grid points
+    visible: np.ndarray              # (C, F, P) bool
+    imu_times: np.ndarray            # (M,) recorded (offset-shifted) stamps
+    gyro: np.ndarray                 # (M, 3)
+    accel: np.ndarray                # (M, 3)
+    points_3d: np.ndarray            # (P, 3) target circle centers
+
+
+def _camera_trajectory(cfg: SimConfig, center):
+    """Smooth analytic camera-0 world pose as a function of time.
+
+    Position orbits above the target plane; orientation looks at a slowly
+    moving point on the target with a sinusoidal roll, giving rich rotation
+    for gravity/bias observability.  Everything is jax-differentiable in t.
+    """
+    r = cfg.orbit_radius
+    d = cfg.distance
+    w = cfg.wobble
+
+    def pos(t):
+        return center + jnp.stack([
+            r * jnp.sin(0.9 * t) + 0.08 * jnp.sin(2.3 * t),
+            r * 0.8 * jnp.sin(0.7 * t + 1.0) + 0.06 * jnp.sin(1.9 * t + 0.5),
+            d + 0.12 * jnp.sin(1.3 * t + 0.3),
+        ])
+
+    def look_target(t):
+        return center + jnp.stack([
+            0.05 * jnp.sin(1.1 * t + 0.7),
+            0.05 * jnp.sin(0.8 * t + 0.2),
+            0.0 * t,
+        ])
+
+    def pose(t):
+        p = pos(t)
+        fwd = look_target(t) - p           # camera z points at the target
+        fwd = fwd / jnp.linalg.norm(fwd)
+        up_hint = jnp.stack([jnp.sin(w * jnp.sin(0.6 * t)),
+                             -jnp.cos(w * jnp.sin(0.6 * t)),
+                             0.0 * t])      # roll wobble
+        right = jnp.cross(-up_hint, fwd)
+        right = right / jnp.linalg.norm(right)
+        down = jnp.cross(fwd, right)
+        R_wc = jnp.stack([right, down, fwd], axis=1)  # columns = cam axes
+        q = so3.from_matrix(R_wc)
+        return q, p
+
+    return pose
+
+
+def simulate(cfg: SimConfig) -> SimData:
+    rng = np.random.default_rng(cfg.seed)
+    target = cfg.target
+    points = jnp.asarray(target.circles_3d())
+    center = jnp.asarray([
+        (target.cols - 1) / 2.0 * target.spacing,
+        (target.rows - 1) / 2.0 * target.spacing, 0.0])
+
+    cam_pose_fn = _camera_trajectory(cfg, center)
+    T_ck0 = (jnp.asarray(cfg.cameras[0].T_ck[0]),
+             jnp.asarray(cfg.cameras[0].T_ck[1]))
+
+    def rig_pose(t):
+        # T_wk = T_wc0 * T_ck0  (reprojection: p_c = T_ck * T_wk^-1 * p_w)
+        return se3.mul(cam_pose_fn(t), T_ck0)
+
+    def rig_pose_flat(t):
+        q, p = rig_pose(t)
+        return jnp.concatenate([q, p])
+
+    d_pose = jax.jacfwd(rig_pose_flat)
+    dd_pos = jax.jacfwd(lambda t: d_pose(t)[4:7])
+
+    g_w = gravity_vector(jnp.asarray(cfg.g_dir))
+    bg = jnp.asarray(cfg.gyro_bias)
+    ba = jnp.asarray(cfg.accel_bias)
+    sfg = jnp.asarray(cfg.gyro_scale)
+    sfa = jnp.asarray(cfg.accel_scale)
+
+    def imu_sample(t):
+        q, _ = rig_pose(t)
+        d = d_pose(t)
+        qdot, v = d[:4], d[4:7]
+        a_w = dd_pos(t)
+        # omega_world from qdot: q(t+dt) = exp(w dt) * q  =>  w = 2 Im(qdot q^-1)
+        wq = so3.quat_mul(qdot, so3.inverse(q))
+        omega_w = 2.0 * wq[:3]
+        # invert the measurement model (types.h:398-406)
+        z_g = (so3.rotate(so3.inverse(q), omega_w) - bg) / sfg
+        z_a = (so3.rotate(so3.inverse(q), a_w + g_w) - ba) / sfa
+        return z_g, z_a, v
+
+    duration = cfg.n_frames / cfg.frame_rate
+    frame_times = np.arange(cfg.n_frames) / cfg.frame_rate + 0.1
+    imu_t_true = np.arange(-0.05, duration + 0.35, 1.0 / cfg.imu_rate)
+
+    # rig poses and velocities at frame times
+    qs, ps, vs = [], [], []
+    pose_v = jax.jit(jax.vmap(lambda t: (rig_pose(t), d_pose(t)[4:7])))
+    (qf, pf), vf = pose_v(jnp.asarray(frame_times))
+    imu_v = jax.jit(jax.vmap(imu_sample))
+    z_g, z_a, _ = imu_v(jnp.asarray(imu_t_true))
+    z_g = np.asarray(z_g) + rng.normal(size=z_g.shape) * cfg.gyro_noise
+    z_a = np.asarray(z_a) + rng.normal(size=z_a.shape) * cfg.accel_noise
+
+    # project through every camera
+    all_pix, all_vis = [], []
+    for cam in cfg.cameras:
+        model = get_model(cam.model)
+        params = jnp.asarray(cam.params)
+        T_ck = (jnp.asarray(cam.T_ck[0]), jnp.asarray(cam.T_ck[1]))
+
+        def project_frame(q, p):
+            T_kw = se3.inverse((q, p))
+            p_c = se3.transform(T_ck, se3.transform(T_kw, points))
+            pix = model.project(p_c, params)
+            vis = ((p_c[:, 2] > 0.05) & (pix[:, 0] >= 0)
+                   & (pix[:, 0] <= cam.width - 1)
+                   & (pix[:, 1] >= 0) & (pix[:, 1] <= cam.height - 1))
+            return pix, vis
+
+        pix, vis = jax.jit(jax.vmap(project_frame))(qf, pf)
+        pix = np.asarray(pix)
+        if cfg.pixel_noise > 0:
+            pix = pix + rng.normal(size=pix.shape) * cfg.pixel_noise
+        all_pix.append(pix)
+        all_vis.append(np.asarray(vis))
+
+    return SimData(
+        config=cfg,
+        frame_times=frame_times,
+        T_wk=(np.asarray(qf), np.asarray(pf)),
+        v_w=np.asarray(vf),
+        pixels=np.stack(all_pix),
+        visible=np.stack(all_vis),
+        imu_times=imu_t_true - cfg.time_offset,
+        gyro=np.asarray(z_g),
+        accel=np.asarray(z_a),
+        points_3d=np.asarray(points),
+    )
+
+
+def default_stereo_vi_config(n_frames=80, model="linear",
+                             time_offset=0.0, **kw) -> SimConfig:
+    """A stereo VI rig mirroring the vi_sim fixture's geometry."""
+    q_rdf = so3.from_matrix(jnp.asarray(RDF_ROBOTICS_T_CK))
+    cams = [
+        SimRigCamera(model=model,
+                     params=np.array(get_model(model).init_params(800, 600)),
+                     T_ck=(np.asarray(q_rdf), np.zeros(3))),
+        SimRigCamera(model=model,
+                     params=np.array(get_model(model).init_params(800, 600)),
+                     T_ck=(np.asarray(q_rdf), np.array([0.0, -0.12, 0.0]))),
+    ]
+    cams[0].params[:] = [335.639853151, 335.639853151, 400.0, 300.0] + \
+        [0.0] * (len(cams[0].params) - 4)
+    cams[1].params[:] = [338.2, 337.1, 398.5, 302.5] + \
+        [0.0] * (len(cams[1].params) - 4)
+    return SimConfig(cameras=cams, target=make_target(),
+                     n_frames=n_frames, time_offset=time_offset, **kw)
+
+
+def default_mono_config(n_frames=60, model="poly2", imu=False, **kw) -> SimConfig:
+    model_obj = get_model(model)
+    params = np.array(model_obj.init_params(800, 600))
+    params[:4] = [335.639853151, 335.639853151, 400.0, 300.0]
+    if model == "poly2":
+        params[4:6] = [-0.12, 0.03]
+    elif model == "poly3":
+        params[4:7] = [-0.12, 0.03, -0.004]
+    elif model == "kb4":
+        params[4:8] = [-0.04, 0.01, -0.002, 0.0004]
+    elif model == "fov":
+        params[4] = 0.85
+    if imu:
+        q_rdf = so3.from_matrix(jnp.asarray(RDF_ROBOTICS_T_CK))
+        T_ck = (np.asarray(q_rdf), np.zeros(3))
+    else:
+        T_ck = (np.array([0.0, 0.0, 0.0, 1.0]), np.zeros(3))
+    cam = SimRigCamera(model=model, params=params, T_ck=T_ck)
+    return SimConfig(cameras=[cam], target=make_target(), n_frames=n_frames,
+                     **kw)
