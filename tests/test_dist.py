@@ -1,0 +1,77 @@
+"""Sharded-assembly correctness: the 8-device CPU mesh must reproduce the
+single-device solve bit-for-bit (up to reduction order)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vicalib_tpu.dist import ShardedLMStep, make_mesh
+from vicalib_tpu.io import sim
+from vicalib_tpu.solver import StageFlags, frame_mask, shared_mask
+from vicalib_tpu.solver.build import problem_from_sim
+from vicalib_tpu.solver.lm import LMSolver
+
+
+@pytest.fixture(scope="module")
+def vi_problem():
+    cfg = sim.default_mono_config(
+        n_frames=10, model="linear", imu=True, imu_rate=100.0,
+        gyro_bias=np.array([0.01, -0.02, 0.015]))
+    data_sim = sim.simulate(cfg)
+    return problem_from_sim(data_sim, use_imu=True, window_slack=0.1)
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_matches_single(vi_problem):
+    data, state = vi_problem
+    flags = StageFlags(calibrate_imu=True, inertial_active=True,
+                       rotation_only=False, bias_active=True)
+    fmask = frame_mask(flags, data.n_frames)
+    smask = shared_mask(data.layout, flags)
+    K = len(data.imu.start)
+    W = jnp.tile(jnp.eye(9, dtype=jnp.float64)[None] * 500.0, (K, 1, 1))
+    lam = jnp.asarray(1e-4)
+    one = jnp.asarray(1.0)
+    rot = jnp.asarray(False)
+
+    single = LMSolver(data)
+    s1, lam1, cost1, trial1, acc1, gn1, sn1 = single._step(
+        state, lam, W, fmask, smask, one, rot)
+
+    sh = ShardedLMStep(data, mesh=make_mesh(8))
+    step = sh.make_step()
+    Wsh = sh.sharded_weight(W)
+    s8, lam8, cost8, trial8, acc8 = step(state, lam, Wsh, fmask, smask,
+                                         one, rot)
+
+    assert bool(acc1) == bool(acc8)
+    np.testing.assert_allclose(float(cost1), float(cost8), rtol=1e-12)
+    np.testing.assert_allclose(float(trial1), float(trial8), rtol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_sharded_visual_only(vi_problem):
+    data, state = vi_problem
+    flags = StageFlags(calibrate_imu=False)
+    fmask = frame_mask(flags, data.n_frames)
+    smask = shared_mask(data.layout, flags)
+    K = len(data.imu.start)
+    W = jnp.tile(jnp.eye(9, dtype=jnp.float64)[None] * 500.0, (K, 1, 1))
+    single = LMSolver(data)
+    lam = jnp.asarray(1e-4)
+    zero = jnp.asarray(0.0)
+    rot = jnp.asarray(False)
+    s1, _, cost1, trial1, _, _, _ = single._step(
+        state, lam, W, fmask, smask, zero, rot)
+
+    sh = ShardedLMStep(data, mesh=make_mesh(4))
+    step = sh.make_step()
+    s4, _, cost4, trial4, _ = step(state, lam, sh.sharded_weight(W),
+                                   fmask, smask, zero, rot)
+    np.testing.assert_allclose(float(cost1), float(cost4), rtol=1e-12)
+    np.testing.assert_allclose(float(trial1), float(trial4), rtol=1e-8)

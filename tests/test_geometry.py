@@ -110,3 +110,26 @@ class TestSE3:
         b = se3.from_params(se3.to_params(a))
         np.testing.assert_allclose(b[0], a[0], atol=1e-15)
         np.testing.assert_allclose(b[1], a[1], atol=1e-15)
+
+
+class TestGradSafety:
+    def test_jacrev_retract_at_zero(self):
+        """Reverse-mode through exp/jl at exactly zero increment must be
+        NaN-free (regression: 0*NaN leak through jnp.where denominators)."""
+        rng = np.random.default_rng(20)
+        a = rand_pose(rng)
+        p = jnp.asarray(rng.normal(size=(3,)))
+
+        def f(dx):
+            return se3.transform(se3.retract(a, dx), p)
+
+        J = jax.jacrev(f)(jnp.zeros(6))
+        assert np.all(np.isfinite(J))
+        Jf = jax.jacfwd(f)(jnp.zeros(6))
+        np.testing.assert_allclose(J, Jf, atol=1e-12)
+
+    def test_jacrev_log_near_identity(self):
+        J = jax.jacrev(lambda q: se3.log((so3.normalize(q),
+                                          jnp.asarray([1.0, 2.0, 3.0]))))(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0]))
+        assert np.all(np.isfinite(J))

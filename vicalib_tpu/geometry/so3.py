@@ -12,9 +12,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Small-angle switch point.  Below this squared-angle we use Taylor expansions so
-# that derivatives stay finite at the identity (mirrors Sophus' eps handling).
-_EPS2 = 1e-14
+# Small-angle switch point.  Below this squared-angle we use Taylor expansions
+# so that derivatives stay finite at the identity (mirrors Sophus' eps
+# handling).  The threshold is deliberately large (theta ~ 1e-4): the Taylor
+# truncation error there (~theta^4 ~ 1e-16 relative) is below f64 eps, while
+# the untaken-branch denominators (down to eps^1.5) stay clear of float32
+# subnormals — flush-to-zero would otherwise turn them into 0/0 = NaN that
+# leaks through reverse-mode where-branches.
+_EPS2 = 1e-8
 
 
 def identity(dtype=jnp.float32):
@@ -143,9 +148,11 @@ def exp(w):
 def log(q):
     """SO(3) logarithm: unit quaternion (..., 4) -> tangent (..., 3).
 
-    Matches Sophus: returns the rotation-vector of q (angle in [0, pi] when w>=0;
-    sign of w handled so the result is the principal log).
+    Matches Sophus (2*atan(n/w) form): always the *principal* rotation vector
+    (|angle| <= pi) — q and -q map to the same result.
     """
+    # canonicalize to the w >= 0 hemisphere (q and -q are the same rotation)
+    q = jnp.where(q[..., 3:4] < 0, -q, q)
     u = q[..., :3]
     w = q[..., 3:4]
     n2 = jnp.sum(u * u, axis=-1, keepdims=True)
@@ -163,32 +170,41 @@ def log(q):
 
 
 def jl(w):
-    """Left Jacobian of SO(3): J_l(w) = I + (1-cos)/t^2 [w]_x + (t-sin)/t^3 [w]_x^2."""
+    """Left Jacobian of SO(3): J_l(w) = I + (1-cos)/t^2 [w]_x + (t-sin)/t^3 [w]_x^2.
+
+    Denominators are floored (not just branch-selected) so that reverse-mode
+    cotangents through the untaken jnp.where branch never see a 0/0 — the
+    0 * NaN = NaN leak.
+    """
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = hat(w)
     W2 = W @ W
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS2))
+    safe2 = jnp.maximum(theta2, _EPS2)
+    theta = jnp.sqrt(safe2)
     small = theta2 < _EPS2
-    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
     b = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
-                  (theta - jnp.sin(theta)) / (theta2 * theta))
+                  (theta - jnp.sin(theta)) / (safe2 * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
 
 def jl_inv(w):
-    """Inverse left Jacobian of SO(3)."""
+    """Inverse left Jacobian of SO(3).  Safe-denominator like jl."""
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = hat(w)
     W2 = W @ W
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS2))
+    safe2 = jnp.maximum(theta2, _EPS2)
+    theta = jnp.sqrt(safe2)
     half = 0.5 * theta
     small = theta2 < _EPS2
+    sin_half = jnp.sin(half)
+    sin_safe = jnp.where(jnp.abs(sin_half) < 1e-30, 1.0, sin_half)
     # (1/t^2)(1 - t sin / (2(1-cos))) = (1/t^2)(1 - (t/2) cot(t/2))
     c = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half * jnp.cos(half) / jnp.sin(half)) / theta2,
+        (1.0 - half * jnp.cos(half) / sin_safe) / safe2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + c * W2

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cameras import get_model
-from ..geometry import se3, so3
+from ..geometry import quat_np, se3, so3
 from ..targets.grid import TargetGrid, make_target
 
 GRAVITY_MAG = 9.8007  # m/s^2 (types.h:40-42)
@@ -196,7 +196,6 @@ def simulate(cfg: SimConfig) -> SimData:
     imu_t_true = np.arange(-0.05, duration + 0.35, 1.0 / cfg.imu_rate)
 
     # rig poses and velocities at frame times
-    qs, ps, vs = [], [], []
     pose_v = jax.jit(jax.vmap(lambda t: (rig_pose(t), d_pose(t)[4:7])))
     (qf, pf), vf = pose_v(jnp.asarray(frame_times))
     imu_v = jax.jit(jax.vmap(imu_sample))
@@ -244,14 +243,13 @@ def simulate(cfg: SimConfig) -> SimData:
 def default_stereo_vi_config(n_frames=80, model="linear",
                              time_offset=0.0, **kw) -> SimConfig:
     """A stereo VI rig mirroring the vi_sim fixture's geometry."""
-    q_rdf = so3.from_matrix(jnp.asarray(RDF_ROBOTICS_T_CK))
+    q_rdf = quat_np.from_matrix(RDF_ROBOTICS_T_CK)
+    init = _default_intrinsics_np(model)
     cams = [
-        SimRigCamera(model=model,
-                     params=np.array(get_model(model).init_params(800, 600)),
-                     T_ck=(np.asarray(q_rdf), np.zeros(3))),
-        SimRigCamera(model=model,
-                     params=np.array(get_model(model).init_params(800, 600)),
-                     T_ck=(np.asarray(q_rdf), np.array([0.0, -0.12, 0.0]))),
+        SimRigCamera(model=model, params=init.copy(),
+                     T_ck=(q_rdf, np.zeros(3))),
+        SimRigCamera(model=model, params=init.copy(),
+                     T_ck=(q_rdf, np.array([0.0, -0.12, 0.0]))),
     ]
     cams[0].params[:] = [335.639853151, 335.639853151, 400.0, 300.0] + \
         [0.0] * (len(cams[0].params) - 4)
@@ -261,9 +259,16 @@ def default_stereo_vi_config(n_frames=80, model="linear",
                      n_frames=n_frames, time_offset=time_offset, **kw)
 
 
+def _default_intrinsics_np(model, width=800, height=600):
+    """numpy mirror of CameraModel.init_params (host path: no jax ops)."""
+    n = get_model(model).n_params
+    base = [300.0, 300.0, width / 2.0, height / 2.0]
+    extra = [0.2] if model == "fov" else [0.0] * (n - 4)
+    return np.asarray(base + extra, dtype=np.float64)
+
+
 def default_mono_config(n_frames=60, model="poly2", imu=False, **kw) -> SimConfig:
-    model_obj = get_model(model)
-    params = np.array(model_obj.init_params(800, 600))
+    params = _default_intrinsics_np(model)
     params[:4] = [335.639853151, 335.639853151, 400.0, 300.0]
     if model == "poly2":
         params[4:6] = [-0.12, 0.03]
@@ -274,8 +279,7 @@ def default_mono_config(n_frames=60, model="poly2", imu=False, **kw) -> SimConfi
     elif model == "fov":
         params[4] = 0.85
     if imu:
-        q_rdf = so3.from_matrix(jnp.asarray(RDF_ROBOTICS_T_CK))
-        T_ck = (np.asarray(q_rdf), np.zeros(3))
+        T_ck = (quat_np.from_matrix(RDF_ROBOTICS_T_CK), np.zeros(3))
     else:
         T_ck = (np.array([0.0, 0.0, 0.0, 1.0]), np.zeros(3))
     cam = SimRigCamera(model=model, params=params, T_ck=T_ck)

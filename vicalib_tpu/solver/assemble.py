@@ -1,0 +1,156 @@
+"""Normal-equation assembly: per-residual jacobian blocks -> structured H, g.
+
+The reference's analog is Ceres's internal Jacobian evaluation + sparse
+normal-equations construction; here the scatter targets the explicit
+arrow-plus-chain structure (see schur.py) with ``segment_sum`` over frame
+indices — fully batched, MXU-friendly einsums.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .problem import CalibState, SharedLayout, StageFlags
+from .residuals import (CameraObs, ImuFactors, imu_residuals,
+                        imu_residuals_and_jacobians, reproj_residuals,
+                        reproj_residuals_and_jacobians)
+from .robust import Cauchy, SoftL1
+
+
+@dataclasses.dataclass
+class ProblemData:
+    """Static problem inputs: observations grouped per camera + IMU windows."""
+    obs: list                      # list[CameraObs], one per camera
+    imu: ImuFactors | None
+    layout: SharedLayout
+    n_frames: int
+
+
+def _seg_sum(x, idx, n):
+    return jax.ops.segment_sum(x, idx, num_segments=n)
+
+
+def robust_costs(state: CalibState, data: ProblemData, weight_sqrt,
+                 inertial_scale, rotation_only,
+                 reproj_loss=SoftL1(0.5), imu_loss=Cauchy(100.0)):
+    """Total robust cost (0.5 * sum rho(|r|^2), the Ceres convention) plus
+    per-camera raw squared-error sums for RMSE reporting
+    (reference: vicalibrator.h:959-971 evaluates without loss)."""
+    cost = jnp.zeros((), state.t_wk.dtype)
+    cam_sq = []
+    cam_cnt = []
+    for c, obs in enumerate(data.obs):
+        r = reproj_residuals(state, obs, c, data.layout.model_names[c])
+        s = jnp.sum(r * r, axis=1)
+        cost = cost + 0.5 * jnp.sum(reproj_loss.rho(s))
+        cam_sq.append(jnp.sum(s))
+        cam_cnt.append(jnp.sum(jnp.asarray(obs.valid)))
+    if data.imu is not None:
+        r = imu_residuals(state, data.imu, weight_sqrt, rotation_only)
+        r = r * inertial_scale
+        s = jnp.sum(r * r, axis=1)
+        cost = cost + 0.5 * jnp.sum(imu_loss.rho(s))
+    return cost, jnp.stack(cam_sq), jnp.stack(cam_cnt)
+
+
+def assemble(state: CalibState, data: ProblemData, weight_sqrt,
+             frame_mask, shared_mask, inertial_scale, rotation_only,
+             reproj_loss=SoftL1(0.5), imu_loss=Cauchy(100.0)):
+    """Build the structured GN system at ``state``.
+
+    Returns (D (F,9,9), U (F-1,9,9), Hfs (F,9,S), Hss (S,S), gf (F,9),
+    gs (S,), cost, n_residuals).
+
+    ``inertial_scale`` is a 0/1 scalar gating the IMU terms (stage switching
+    without recompilation); ``rotation_only`` is the residual switch
+    (vicalibrator.h:657-660 via the cost functor's bool).
+    Masked tangent coordinates get zeroed jacobian columns and a unit
+    diagonal, which pins their increments to exactly zero — the analog of
+    SetParameterBlockConstant.
+    """
+    layout = data.layout
+    F = data.n_frames
+    S = layout.size
+    dtype = state.t_wk.dtype
+
+    D = jnp.zeros((F, 9, 9), dtype)
+    U = jnp.zeros((max(F - 1, 1), 9, 9), dtype)
+    Hfs = jnp.zeros((F, 9, S), dtype)
+    Hss = jnp.zeros((S, S), dtype)
+    gf = jnp.zeros((F, 9), dtype)
+    gs = jnp.zeros((S,), dtype)
+    cost = jnp.zeros((), dtype)
+    n_res = jnp.zeros((), dtype)
+
+    for c, obs in enumerate(data.obs):
+        r, Jp, Jr, Jt, Ji = reproj_residuals_and_jacobians(
+            state, obs, c, layout.model_names[c])
+        n_res = n_res + jnp.sum(jnp.asarray(obs.valid))
+        fidx = jnp.asarray(obs.frame_idx)
+        # IRLS robust weighting
+        s = jnp.sum(r * r, axis=1)
+        cost = cost + 0.5 * jnp.sum(reproj_loss.rho(s))
+        w = reproj_loss.weight(s)
+        r = r * w[:, None]
+        Jp = Jp * w[:, None, None]
+        # shared columns of this camera: [rot(3), trans(3), intr(Pc)]
+        Js = jnp.concatenate([Jr, Jt, Ji], axis=2) * w[:, None, None]
+
+        # apply masks (zero out inactive tangent directions)
+        fm = frame_mask[fidx][:, None, :6]             # (N,1,6)
+        Jp = Jp * fm
+        c0 = int(layout.cam_rot[c])
+        ncols = 6 + int(layout.n_intr[c])
+        sm = shared_mask[c0:c0 + ncols][None, None, :]
+        Js = Js * sm
+
+        D = D.at[:, :6, :6].add(
+            _seg_sum(jnp.einsum("nri,nrj->nij", Jp, Jp), fidx, F))
+        gf = gf.at[:, :6].add(
+            _seg_sum(jnp.einsum("nri,nr->ni", Jp, r), fidx, F))
+        Hfs = Hfs.at[:, :6, c0:c0 + ncols].add(
+            _seg_sum(jnp.einsum("nri,nrj->nij", Jp, Js), fidx, F))
+        Hss = Hss.at[c0:c0 + ncols, c0:c0 + ncols].add(
+            jnp.einsum("nri,nrj->ij", Js, Js))
+        gs = gs.at[c0:c0 + ncols].add(jnp.einsum("nri,nr->i", Js, r))
+
+    if data.imu is not None:
+        r, J1, J2, Jsh = imu_residuals_and_jacobians(
+            state, data.imu, weight_sqrt, rotation_only)
+        n_res = n_res + len(data.imu.start)
+        fi = jnp.asarray(data.imu.frame_i)
+        r = r * inertial_scale
+        J1 = J1 * inertial_scale
+        J2 = J2 * inertial_scale
+        Jsh = Jsh * inertial_scale
+        s = jnp.sum(r * r, axis=1)
+        cost = cost + 0.5 * jnp.sum(imu_loss.rho(s))
+        w = imu_loss.weight(s)
+        r = r * w[:, None]
+        J1 = J1 * w[:, None, None] * frame_mask[fi][:, None, :]
+        J2 = J2 * w[:, None, None] * frame_mask[fi + 1][:, None, :]
+        i0 = layout.g
+        Jsh = Jsh * w[:, None, None] * shared_mask[None, None, i0:i0 + 15]
+
+        D = D + _seg_sum(jnp.einsum("kri,krj->kij", J1, J1), fi, F)
+        D = D + _seg_sum(jnp.einsum("kri,krj->kij", J2, J2), fi + 1, F)
+        if F > 1:
+            U = U + _seg_sum(jnp.einsum("kri,krj->kij", J1, J2), fi, F - 1)
+        gf = gf + _seg_sum(jnp.einsum("kri,kr->ki", J1, r), fi, F)
+        gf = gf + _seg_sum(jnp.einsum("kri,kr->ki", J2, r), fi + 1, F)
+        Hfs = Hfs.at[:, :, i0:i0 + 15].add(
+            _seg_sum(jnp.einsum("kri,krj->kij", J1, Jsh), fi, F)
+            + _seg_sum(jnp.einsum("kri,krj->kij", J2, Jsh), fi + 1, F))
+        Hss = Hss.at[i0:i0 + 15, i0:i0 + 15].add(
+            jnp.einsum("kri,krj->ij", Jsh, Jsh))
+        gs = gs.at[i0:i0 + 15].add(jnp.einsum("kri,kr->i", Jsh, r))
+
+    # pin masked coordinates: unit diagonal, zero gradient (already zero)
+    eye9 = jnp.eye(9, dtype=dtype)
+    D = D + eye9[None] * (1.0 - frame_mask)[:, :, None] * eye9[None]
+    Hss = Hss + jnp.diag(1.0 - shared_mask)
+
+    return D, U, Hfs, Hss, gf, gs, cost, n_res

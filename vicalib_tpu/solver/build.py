@@ -1,0 +1,123 @@
+"""Build a calibration problem (ProblemData + initial CalibState) from
+per-frame observations and IMU streams.
+
+This is the measurement-assembly layer between detection/simulation and the
+solver — the reference's VicalibTask::AddImageMeasurements + AddFrame +
+AddObservation + AddImuMeasurements path (vicalib-task.cc:247-368, 680-698)
+recast as batch construction of static-shape arrays.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import get_model
+from ..detect import pnp
+from ..geometry import se3
+from ..imu import build_windows, gather_windows
+from .assemble import ProblemData
+from .problem import CalibState, SharedLayout, init_state
+from .residuals import CameraObs, ImuFactors
+
+
+def build_problem(
+    model_names: Sequence[str],
+    frame_times: np.ndarray,          # (F,)
+    pixels: np.ndarray,               # (C, F, P, 2)
+    visible: np.ndarray,              # (C, F, P)
+    points_3d: np.ndarray,            # (P, 3) target points (z=0 plane)
+    widths: Sequence[int] = None,
+    heights: Sequence[int] = None,
+    imu_times: np.ndarray = None,     # (M,) raw IMU stamps
+    gyro: np.ndarray = None,
+    accel: np.ndarray = None,
+    time_offset_guess: float = 0.0,
+    window_slack: float = 0.35,
+    intr0=None,
+    T_ck0=None,
+    dtype=jnp.float64,
+    init_poses: bool = True,
+    use_ransac: bool = False,
+):
+    """Returns (data: ProblemData, state: CalibState)."""
+    C, F, P, _ = pixels.shape
+    widths = widths or [800] * C
+    heights = heights or [600] * C
+    layout = SharedLayout.create(model_names)
+
+    obs = []
+    fidx = np.repeat(np.arange(F, dtype=np.int32), P)
+    p_w = np.tile(points_3d, (F, 1))
+    for c in range(C):
+        obs.append(CameraObs(
+            frame_idx=fidx,
+            p_w=p_w.astype(np.float64),
+            p_c=pixels[c].reshape(F * P, 2).astype(np.float64),
+            valid=visible[c].reshape(F * P).astype(np.float64),
+        ))
+
+    imu = None
+    if imu_times is not None and len(imu_times) > 0:
+        win = build_windows(imu_times, frame_times,
+                            offset_guess=time_offset_guess, slack=window_slack)
+        t_w, g_w, a_w = gather_windows(
+            np.asarray(imu_times), np.asarray(gyro), np.asarray(accel),
+            win["idx0"], win["n_slots"])
+        imu = ImuFactors(win_times=t_w, win_gyro=g_w, win_accel=a_w,
+                         start=win["start"], end=win["end"],
+                         has_meas=win["has_meas"],
+                         frame_i=np.arange(F - 1, dtype=np.int32))
+
+    data = ProblemData(obs=obs, imu=imu, layout=layout, n_frames=F)
+
+    state = init_state(F, model_names, widths, heights, dtype=dtype,
+                       intr0=intr0, T_ck0=T_ck0)
+    state = state._replace(
+        time_offset=jnp.asarray(time_offset_guess, dtype=dtype))
+
+    if init_poses:
+        # PnP-seed frame poses from camera 0 (vicalib-task.cc:344-349),
+        # using the *initial* intrinsics, as the reference does.  One jit
+        # graph: eager ops are prohibitively slow on the remote-TPU platform.
+        model = get_model(model_names[0])
+
+        @jax.jit
+        def _init(intr, pix, vis, q_ck0, p_ck0, q_wk0, t_wk0):
+            q_wk, t_wk = pnp.init_frame_poses(
+                model, intr[:model.n_params], pix, points_3d, vis,
+                (q_ck0, p_ck0), use_ransac=use_ransac)
+            any_vis = jnp.sum(vis, axis=1) >= 4
+            q_wk = jnp.where(any_vis[:, None], q_wk, q_wk0)
+            t_wk = jnp.where(any_vis[:, None], t_wk, t_wk0)
+            return q_wk, t_wk
+
+        q_wk, t_wk = _init(state.intr[0], jnp.asarray(pixels[0], dtype=dtype),
+                           jnp.asarray(visible[0], dtype=dtype),
+                           state.q_ck[0], state.p_ck[0],
+                           state.q_wk, state.t_wk)
+        state = state._replace(q_wk=q_wk, t_wk=t_wk)
+
+    return data, state
+
+
+def problem_from_sim(sim_data, model_names=None, dtype=jnp.float64,
+                     time_offset_guess=0.0, use_imu=False, intr0=None,
+                     use_ransac=False, window_slack=0.35):
+    """Convenience: wire a SimData into (ProblemData, initial CalibState)."""
+    cfg = sim_data.config
+    names = model_names or [c.model for c in cfg.cameras]
+    kwargs = {}
+    if use_imu:
+        kwargs = dict(imu_times=sim_data.imu_times, gyro=sim_data.gyro,
+                      accel=sim_data.accel,
+                      time_offset_guess=time_offset_guess,
+                      window_slack=window_slack)
+    return build_problem(
+        names, sim_data.frame_times, sim_data.pixels, sim_data.visible,
+        sim_data.points_3d,
+        widths=[c.width for c in cfg.cameras],
+        heights=[c.height for c in cfg.cameras],
+        dtype=dtype, intr0=intr0, use_ransac=use_ransac, **kwargs)

@@ -1,0 +1,186 @@
+"""Batched residuals and per-block Jacobians for the calibration problem.
+
+Re-derivation of the reference's cost functors as vmapped JAX:
+
+- Reprojection (ImuReprojectionCostFunctor, ceres-cost-functions.h:342-377):
+  ``r = project(T_ck * T_wk^-1 * p_w) - p_c``, 2-D, one per observation.
+- VI factor (SwitchedFullImuCostFunction, :379-490): 9-D per consecutive-frame
+  pair, see imu.preintegrate.
+
+Jacobians are exact autodiff (jacrev: outputs are narrow), evaluated in the
+*tangent space* at zero increment — the same derivative the reference gets
+from ceres::Jet composed with the local parameterizations, but batched over
+all observations at once.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import get_model
+from ..geometry import se3, so3
+from ..imu import preintegrate
+from .problem import CalibState, SharedLayout
+
+
+@dataclasses.dataclass
+class CameraObs:
+    """Observations for one camera (static shapes; invalid rows masked)."""
+    frame_idx: np.ndarray   # (N,) int32
+    p_w: np.ndarray         # (N, 3) target points (world frame)
+    p_c: np.ndarray         # (N, 2) measured pixels
+    valid: np.ndarray       # (N,) float (0/1)
+
+
+@dataclasses.dataclass
+class ImuFactors:
+    """Per frame-pair IMU windows (see imu.buffer.build_windows).
+
+    Factor k couples frames (frame_i[k], frame_i[k] + 1); carrying the index
+    explicitly lets factor shards scatter into the global frame arrays
+    (dist/sharded.py)."""
+    win_times: np.ndarray   # (K, M)
+    win_gyro: np.ndarray    # (K, M, 3)
+    win_accel: np.ndarray   # (K, M, 3)
+    start: np.ndarray       # (K,)
+    end: np.ndarray         # (K,)
+    has_meas: np.ndarray    # (K,) bool
+    frame_i: np.ndarray     # (K,) int32 — first frame of the pair
+
+
+# ----------------------------------------------------------------- reprojection
+def _reproj_one(model, q_wk, t_wk, q_ck, p_ck, intr, p_w, p_c,
+                dx_pose, dx_rot, dx_trans, dx_intr):
+    """Single reprojection residual with tangent increments applied."""
+    T_wk = se3.retract((q_wk, t_wk), dx_pose)
+    q_ck = so3.quat_mul(q_ck, so3.exp(dx_rot))
+    p_ck = p_ck + dx_trans
+    intr = intr[:model.n_params] + dx_intr
+    T_kw = se3.inverse(T_wk)
+    p_cam = se3.transform((q_ck, p_ck), se3.transform(T_kw, p_w))
+    return model.project(p_cam, intr) - p_c
+
+
+def reproj_residuals(state: CalibState, obs: CameraObs, cam: int,
+                     model_name: str):
+    """(N, 2) residuals for one camera (valid-masked)."""
+    model = get_model(model_name)
+    q_wk = state.q_wk[obs.frame_idx]
+    t_wk = state.t_wk[obs.frame_idx]
+    z6 = jnp.zeros(6, dtype=state.t_wk.dtype)
+    z3 = z6[:3]
+    zi = jnp.zeros(model.n_params, dtype=state.t_wk.dtype)
+
+    def one(qw, tw, pw, pc):
+        return _reproj_one(model, qw, tw, state.q_ck[cam], state.p_ck[cam],
+                           state.intr[cam], pw, pc, z6, z3, z3, zi)
+
+    r = jax.vmap(one)(q_wk, t_wk, jnp.asarray(obs.p_w), jnp.asarray(obs.p_c))
+    return r * jnp.asarray(obs.valid)[:, None]
+
+
+def reproj_residuals_and_jacobians(state: CalibState, obs: CameraObs,
+                                   cam: int, model_name: str):
+    """Residuals plus tangent jacobians for one camera.
+
+    Returns (r (N,2), J_pose (N,2,6), J_rot (N,2,3), J_trans (N,2,3),
+    J_intr (N,2,Pc)), all valid-masked.
+    """
+    model = get_model(model_name)
+    q_wk = state.q_wk[obs.frame_idx]
+    t_wk = state.t_wk[obs.frame_idx]
+    dtype = state.t_wk.dtype
+    z6 = jnp.zeros(6, dtype=dtype)
+    z3 = z6[:3]
+    zi = jnp.zeros(model.n_params, dtype=dtype)
+
+    def f(qw, tw, pw, pc, dxp, dxr, dxt, dxi):
+        return _reproj_one(model, qw, tw, state.q_ck[cam], state.p_ck[cam],
+                           state.intr[cam], pw, pc, dxp, dxr, dxt, dxi)
+
+    def one(qw, tw, pw, pc):
+        r = f(qw, tw, pw, pc, z6, z3, z3, zi)
+        Jp, Jr, Jt, Ji = jax.jacrev(f, argnums=(4, 5, 6, 7))(
+            qw, tw, pw, pc, z6, z3, z3, zi)
+        return r, Jp, Jr, Jt, Ji
+
+    r, Jp, Jr, Jt, Ji = jax.vmap(one)(
+        q_wk, t_wk, jnp.asarray(obs.p_w), jnp.asarray(obs.p_c))
+    v = jnp.asarray(obs.valid)[:, None]
+    return (r * v, Jp * v[..., None], Jr * v[..., None], Jt * v[..., None],
+            Ji * v[..., None])
+
+
+# ----------------------------------------------------------------- IMU factors
+def _imu_one(state: CalibState, imu: "jnp-arrays", k_pose1, k_pose2,
+             win_t, win_g, win_a, start, end, has_meas, weight_sqrt,
+             rotation_only, dx1, dx2, dx_g, dx_b, dx_sf, dx_t):
+    """Single IMU factor residual with tangent increments applied."""
+    q1, t1, v1 = k_pose1
+    q2, t2, v2 = k_pose2
+    T1 = se3.retract((q1, t1), dx1[:6])
+    v1 = v1 + dx1[6:9]
+    T2 = se3.retract((q2, t2), dx2[:6])
+    v2 = v2 + dx2[6:9]
+    b = state.biases + dx_b
+    return preintegrate.imu_factor_residual(
+        T1, v1, T2, v2, win_t, win_g, win_a, start, end,
+        state.g_dir + dx_g, b[:3], b[3:], state.scales + dx_sf,
+        state.time_offset + dx_t[0], has_meas, weight_sqrt=weight_sqrt,
+        rotation_only=rotation_only)
+
+
+def _imu_args(state: CalibState, imu: ImuFactors):
+    K = len(imu.start)
+    fi = jnp.asarray(imu.frame_i)
+    pose1 = (state.q_wk[fi], state.t_wk[fi], state.v_w[fi])
+    pose2 = (state.q_wk[fi + 1], state.t_wk[fi + 1], state.v_w[fi + 1])
+    arrs = (jnp.asarray(imu.win_times), jnp.asarray(imu.win_gyro),
+            jnp.asarray(imu.win_accel), jnp.asarray(imu.start),
+            jnp.asarray(imu.end), jnp.asarray(imu.has_meas))
+    return K, pose1, pose2, arrs
+
+
+def imu_residuals(state: CalibState, imu: ImuFactors, weight_sqrt,
+                  rotation_only):
+    """(K, 9) residuals for all consecutive-frame IMU factors."""
+    K, pose1, pose2, arrs = _imu_args(state, imu)
+    dtype = state.t_wk.dtype
+    z9 = jnp.zeros(9, dtype=dtype)
+    z2, z6, z1 = (jnp.zeros(n, dtype=dtype) for n in (2, 6, 1))
+
+    def one(p1, p2, wt, wg, wa, s, e, h, W):
+        return _imu_one(state, None, p1, p2, wt, wg, wa, s, e, h, W,
+                        rotation_only, z9, z9, z2, z6, z6, z1)
+
+    return jax.vmap(one)(pose1, pose2, *arrs, weight_sqrt)
+
+
+def imu_residuals_and_jacobians(state: CalibState, imu: ImuFactors,
+                                weight_sqrt, rotation_only):
+    """Residuals plus tangent jacobians for all IMU factors.
+
+    Returns (r (K,9), J1 (K,9,9), J2 (K,9,9), J_sh (K,9,15)) where the shared
+    columns are [g(2), biases(6), scales(6), time_offset(1)].
+    """
+    K, pose1, pose2, arrs = _imu_args(state, imu)
+    dtype = state.t_wk.dtype
+    z9 = jnp.zeros(9, dtype=dtype)
+    z2, z6, z1 = (jnp.zeros(n, dtype=dtype) for n in (2, 6, 1))
+
+    def f(p1, p2, wt, wg, wa, s, e, h, W, dx1, dx2, dxg, dxb, dxsf, dxt):
+        return _imu_one(state, None, p1, p2, wt, wg, wa, s, e, h, W,
+                        rotation_only, dx1, dx2, dxg, dxb, dxsf, dxt)
+
+    def one(p1, p2, wt, wg, wa, s, e, h, W):
+        r = f(p1, p2, wt, wg, wa, s, e, h, W, z9, z9, z2, z6, z6, z1)
+        J = jax.jacrev(f, argnums=(9, 10, 11, 12, 13, 14))(
+            p1, p2, wt, wg, wa, s, e, h, W, z9, z9, z2, z6, z6, z1)
+        J1, J2, Jg, Jb, Jsf, Jt = J
+        J_sh = jnp.concatenate([Jg, Jb, Jsf, Jt], axis=1)
+        return r, J1, J2, J_sh
+
+    return jax.vmap(one)(pose1, pose2, *arrs, weight_sqrt)

@@ -1,0 +1,292 @@
+"""Staged optimization schedule — the reference's SolveThread state machine.
+
+Stage progression (reference: vicalibrator.h:919-1031):
+
+  1. visual-only                          (camera-0 extrinsics fixed: gauge)
+  2. + inertial, rotation-only            (T_ck rotation free, g/bias const)
+  3. + translation, gravity, biases       (gravity initialized from the
+                                           middle frame's accelerometer,
+                                           :927-949; biases activate together
+                                           with translation, :982-990)
+  4. + scale factors                      (:991-994)
+  5. outlier removal + one re-solve       (:995-998, 859-916; opt-in)
+
+Between iterations the IMU whitening weights are recomputed from covariance
+propagation through the integration (UpdateImuWeights, :723-799) — here the
+linearized covariance is J_z Sigma_z J_z^T with J_z the autodiff jacobian of
+the integrated end-state w.r.t. the raw measurement window, transformed
+through the residual map and inverted+matrix-square-rooted.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import quat_np, se3, so3
+from ..imu import preintegrate
+from .assemble import ProblemData
+from .lm import LMInfo, LMOptions, LMSolver
+from .problem import CalibState, StageFlags, frame_mask, shared_mask
+from .residuals import reproj_residuals
+
+log = logging.getLogger("vicalib_tpu.solver")
+
+# IMU measurement sigmas (types.h:34-35), overridable by flags
+IMU_GYRO_SIGMA = 5.3088444e-5
+IMU_ACCEL_SIGMA = 0.001883649
+
+
+@dataclasses.dataclass
+class StagedResult:
+    state: CalibState
+    info: LMInfo
+    stages_run: list
+    mse: float
+    cam_rmse: np.ndarray
+    total_iterations: int
+
+
+def make_imu_weight_fn(data: ProblemData, gyro_sigma=IMU_GYRO_SIGMA,
+                       accel_sigma=IMU_ACCEL_SIGMA):
+    """Jitted state -> (K, 9, 9) whitening weights (UpdateImuWeights analog).
+
+    cov10 = J_g Sigma_g J_g^T + J_a Sigma_a J_a^T with J the end-state
+    jacobian w.r.t. the window's raw samples; cov9 transforms through the
+    residual map [log(T_end T_2^-1); v_end - v2]; weight = (cov9)^-1/2
+    (vicalibrator.h:747-796).
+    """
+    imu = data.imu
+    wt = jnp.asarray(imu.win_times)
+    wg = jnp.asarray(imu.win_gyro)
+    wa = jnp.asarray(imu.win_accel)
+    starts = jnp.asarray(imu.start)
+    ends = jnp.asarray(imu.end)
+    has = jnp.asarray(imu.has_meas)
+
+    def one(state, k_q1, k_t1, k_v1, k_q2, k_t2, k_v2, wtk, wgk, wak, s, e, h):
+        def endstate(gyro_vals, accel_vals):
+            return preintegrate.end_state(
+                (k_q1, k_t1), k_v1, wtk, gyro_vals, accel_vals, s, e,
+                state.g_dir, state.biases[:3], state.biases[3:], state.scales,
+                state.time_offset)
+
+        y = endstate(wgk, wak)
+        Jg, Ja = jax.jacrev(endstate, argnums=(0, 1))(wgk, wak)
+        M = wtk.shape[0]
+        Jg = Jg.reshape(10, 3 * M)
+        Ja = Ja.reshape(10, 3 * M)
+        cov10 = (gyro_sigma ** 2) * (Jg @ Jg.T) + \
+            (accel_sigma ** 2) * (Ja @ Ja.T)
+
+        def res_of_y(y10):
+            T_end = (y10[3:7] / jnp.linalg.norm(y10[3:7]), y10[0:3])
+            d = se3.mul(T_end, se3.inverse((k_q2, k_t2)))
+            return jnp.concatenate([se3.log(d), y10[7:10] - k_v2])
+
+        Dmap = jax.jacrev(res_of_y)(y)
+        cov9 = Dmap @ cov10 @ Dmap.T
+        cov9 = cov9 + jnp.eye(9, dtype=cov9.dtype) * 1e-14
+        # weight = sqrtm(inv(cov9)) via symmetric eigendecomposition
+        evals, evecs = jnp.linalg.eigh(cov9)
+        inv_sqrt = evecs @ jnp.diag(
+            1.0 / jnp.sqrt(jnp.maximum(evals, 1e-18))) @ evecs.T
+        eye = jnp.eye(9, dtype=cov9.dtype) * 500.0
+        return jnp.where(h, inv_sqrt, eye)
+
+    @jax.jit
+    def weight_fn(state: CalibState):
+        return jax.vmap(
+            lambda *a: one(state, *a))(
+            state.q_wk[:-1], state.t_wk[:-1], state.v_w[:-1],
+            state.q_wk[1:], state.t_wk[1:], state.v_w[1:],
+            wt, wg, wa, starts, ends, has)
+
+    return weight_fn
+
+
+def initialize_extrinsic_rotation(state: CalibState,
+                                  data: ProblemData) -> CalibState:
+    """Jump-start camera-0's extrinsic rotation by gyro/vision alignment.
+
+    The IMU residual has no *direct* dependence on R_ck — the coupling is
+    second-order through the frame poses — so descending from identity to a
+    large rotation (e.g. the RDF permutation, ~120 deg) crawls.  The reference
+    burns trust-region iterations on this (vicalibrator.h:976-985); here we
+    solve the classic Wahba alignment first:
+
+      gyro body rate  z_g(t)  ~  R_ck^T  omega_cam(t)
+
+    with omega_cam from consecutive PnP camera orientations, then re-anchor
+    frames (T_wk <- T_wk * dT_ck) so reprojection is untouched.  This is a
+    TPU-native design improvement, not a reference behavior.
+    """
+    imu = data.imu
+    K = len(imu.start)
+    q_wk = np.asarray(state.q_wk)
+    t_wk = np.asarray(state.t_wk)
+    toff = float(state.time_offset)
+
+    # camera(=rig, T_ck=I at this point) body angular velocity per pair
+    omega_c = []
+    z_g = []
+    for k in range(K):
+        dt = imu.end[k] - imu.start[k]
+        if dt <= 0:
+            continue
+        w = quat_np.log(quat_np.quat_mul(
+            quat_np.inverse(q_wk[k]), q_wk[k + 1])) / dt
+        t_mid = 0.5 * (imu.start[k] + imu.end[k]) - toff
+        g = np.stack([np.interp(t_mid, imu.win_times[k],
+                                imu.win_gyro[k][:, i]) for i in range(3)])
+        omega_c.append(w)
+        z_g.append(g - np.asarray(state.biases[:3]))
+    omega_c = np.stack(omega_c)
+    z_g = np.stack(z_g)
+
+    # Wahba: R_hat = argmin sum |z_g - R omega_c|^2  =>  R_ck = R_hat^T
+    B = z_g.T @ omega_c
+    Uu, _, Vt = np.linalg.svd(B)
+    d = np.linalg.det(Uu @ Vt)
+    R_hat = Uu @ np.diag([1.0, 1.0, d]) @ Vt
+    R_ck = R_hat.T
+    q_new = quat_np.from_matrix(R_ck)
+    # dT = T_ck_old^-1 * T_ck_new  (rotation only; translation unchanged)
+    q_ck_np = np.asarray(state.q_ck)
+    dq = quat_np.quat_mul(quat_np.inverse(q_ck_np[0]), q_new)
+    log.info("extrinsic rotation init: |angle| = %.4f rad",
+             float(np.linalg.norm(quat_np.log(dq))))
+    # re-anchor frames AND every camera's extrinsics so all reprojections
+    # are untouched: T_wk <- T_wk * dT,  T_ck <- T_ck * dT for each camera
+    dtype = state.q_wk.dtype
+    q_wk_new = quat_np.quat_mul(q_wk, dq[None, :])
+    q_ck_all = quat_np.quat_mul(q_ck_np, dq[None, :])
+    return state._replace(q_wk=jnp.asarray(q_wk_new, dtype),
+                          q_ck=jnp.asarray(q_ck_all, dtype))
+
+
+def initialize_gravity(state: CalibState, data: ProblemData) -> CalibState:
+    """Estimate the 2-angle gravity direction from the middle frame's
+    accelerometer reading rotated into the world (vicalibrator.h:927-949)."""
+    imu = data.imu
+    k = min(data.n_frames // 2, len(imu.start) - 1)
+    t_query = imu.start[k] - float(state.time_offset)
+    accel = np.stack([
+        np.interp(t_query, imu.win_times[k], imu.win_accel[k][:, i])
+        for i in range(3)])
+    g_b = accel / np.linalg.norm(accel)
+    g_w = quat_np.rotate(np.asarray(state.q_wk[k]), g_b)
+    p = np.arcsin(np.clip(g_w[1], -1, 1))
+    cp = np.cos(p)
+    q = np.arcsin(np.clip(-g_w[0] / (cp if abs(cp) > 1e-9 else 1e-9), -1, 1))
+    log.info("gravity init: body %s world %s -> angles (%.4f, %.4f)",
+             g_b, g_w, p, q)
+    return state._replace(g_dir=jnp.asarray([p, q], dtype=state.g_dir.dtype))
+
+
+def remove_outliers(state: CalibState, data: ProblemData, cam_rmse,
+                    threshold: float) -> ProblemData:
+    """Invalidate observations with reprojection error above
+    threshold * per-camera RMSE (RemoveOutliers, vicalibrator.h:859-916)."""
+    new_obs = []
+    for c, obs in enumerate(data.obs):
+        r = np.asarray(reproj_residuals(state, obs, c,
+                                        data.layout.model_names[c]))
+        err = np.linalg.norm(r, axis=1)
+        keep = (err <= threshold * cam_rmse[c]) & (obs.valid > 0)
+        n_out = int(np.sum((obs.valid > 0) & ~keep))
+        log.info("camera %d: removing %d/%d conic outliers", c, n_out,
+                 int(np.sum(obs.valid > 0)))
+        new_obs.append(dataclasses.replace(
+            obs, valid=keep.astype(obs.valid.dtype)))
+    return dataclasses.replace(data, obs=new_obs)
+
+
+def run_staged(state: CalibState, data: ProblemData,
+               flags: StageFlags, options: LMOptions = LMOptions(),
+               do_remove_outliers: bool = False, outlier_threshold: float = 2.0,
+               gyro_sigma=IMU_GYRO_SIGMA, accel_sigma=IMU_ACCEL_SIGMA,
+               stats_callback=None) -> StagedResult:
+    """Run the full staged schedule to completion.
+
+    ``flags`` carries the starting stage configuration (VicalibTask::Start
+    maps has_initial_guess here, vicalib-task.cc:227-235).
+    """
+    solver = LMSolver(data, options)
+    weight_fn = None
+    if data.imu is not None and flags.calibrate_imu:
+        weight_fn = make_imu_weight_fn(data, gyro_sigma, accel_sigma)
+
+    dtype = state.t_wk.dtype
+    stages_run = []
+    outliers_removed = False
+    gravity_initialized = False
+    extrinsic_rot_initialized = False
+    total_iters = 0
+    info = None
+
+    while True:
+        fmask = frame_mask(flags, data.n_frames, dtype)
+        smask = shared_mask(data.layout, flags, dtype)
+        inertial = flags.calibrate_imu and flags.inertial_active
+        full_inertial = inertial and not flags.rotation_only
+
+        if (inertial and flags.rotation_only
+                and not extrinsic_rot_initialized):
+            state = initialize_extrinsic_rotation(state, data)
+            extrinsic_rot_initialized = True
+
+        if full_inertial and not gravity_initialized:
+            state = initialize_gravity(state, data)
+            gravity_initialized = True
+
+        stage_name = (
+            "visual" if not inertial else
+            "inertial-rotation" if flags.rotation_only else
+            "inertial-full%s" % ("+scale" if flags.scale_active else ""))
+        log.info("=== stage: %s ===", stage_name)
+        state, info = solver.solve(
+            state, fmask, smask,
+            weight_fn=weight_fn if full_inertial else None,
+            inertial_scale=1.0 if inertial else 0.0,
+            rotation_only=flags.rotation_only,
+            callback=stats_callback)
+        stages_run.append((stage_name, info.iterations, info.cost))
+        total_iters += info.iterations
+        log.info("stage %s done: cost %.6e rmse %s iters %d", stage_name,
+                 info.cost, info.cam_rmse, info.iterations)
+
+        # stage advance (vicalibrator.h:976-1031)
+        if flags.calibrate_imu:
+            if not flags.inertial_active:
+                flags = flags.evolve(inertial_active=True, rotation_only=True)
+            elif flags.rotation_only:
+                flags = flags.evolve(rotation_only=False, bias_active=True)
+            elif not flags.scale_active:
+                flags = flags.evolve(scale_active=True)
+            elif do_remove_outliers and not outliers_removed:
+                data = remove_outliers(state, data, info.cam_rmse,
+                                       outlier_threshold)
+                solver = LMSolver(data, options)
+                if weight_fn is not None:
+                    weight_fn = make_imu_weight_fn(data, gyro_sigma,
+                                                   accel_sigma)
+                outliers_removed = True
+            else:
+                break
+        else:
+            if do_remove_outliers and not outliers_removed:
+                data = remove_outliers(state, data, info.cam_rmse,
+                                       outlier_threshold)
+                solver = LMSolver(data, options)
+                outliers_removed = True
+            else:
+                break
+
+    mse = info.cost / max(info.n_residuals, 1)
+    return StagedResult(state=state, info=info, stages_run=stages_run,
+                        mse=mse, cam_rmse=info.cam_rmse,
+                        total_iterations=total_iters)
