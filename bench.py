@@ -32,6 +32,8 @@ def log(*a):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from vicalib_tpu.geometry import se3
     from vicalib_tpu.io import sim
@@ -47,7 +49,24 @@ def main():
         accel_bias=np.array([0.05, 0.02, -0.04]),
         pixel_noise=0.1)
     t0 = time.time()
-    data_sim = sim.simulate(cfg)
+    cache = f"/tmp/vicalib_bench_sim_{N_FRAMES}_v1.npz"
+    import os
+    if os.path.exists(cache):
+        z = np.load(cache)
+        data_sim = sim.SimData(
+            config=cfg, frame_times=z["frame_times"],
+            T_wk=(z["q_wk"], z["t_wk"]), v_w=z["v_w"], pixels=z["pixels"],
+            visible=z["visible"], imu_times=z["imu_times"], gyro=z["gyro"],
+            accel=z["accel"], points_3d=z["points_3d"])
+        log("sim loaded from cache")
+    else:
+        data_sim = sim.simulate(cfg)
+        np.savez(cache, frame_times=data_sim.frame_times,
+                 q_wk=data_sim.T_wk[0], t_wk=data_sim.T_wk[1],
+                 v_w=data_sim.v_w, pixels=data_sim.pixels,
+                 visible=data_sim.visible, imu_times=data_sim.imu_times,
+                 gyro=data_sim.gyro, accel=data_sim.accel,
+                 points_3d=data_sim.points_3d)
     log(f"sim: {time.time() - t0:.1f}s; frames={N_FRAMES} "
         f"obs={data_sim.visible.sum()} imu={len(data_sim.imu_times)}")
 

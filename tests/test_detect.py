@@ -1,0 +1,82 @@
+"""Detection pipeline end-to-end: rendered frames -> conics -> grid match.
+
+The detected+associated corners must agree with the simulator's analytic
+projections to sub-0.2 px (centroid-of-antialiased-ellipse accuracy).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vicalib_tpu.detect.conics import ConicParams, find_conics
+from vicalib_tpu.io import sim
+from vicalib_tpu.targets.grid_match import match_target
+
+
+@pytest.fixture(scope="module")
+def rendered():
+    cfg = sim.default_mono_config(n_frames=3, model="linear",
+                                  distance=0.42, orbit_radius=0.25)
+    # smaller images for CPU-test speed; scale intrinsics accordingly
+    cfg.cameras[0].params[:4] = [240.0, 240.0, 200.0, 150.0]
+    cfg.cameras[0].width = 400
+    cfg.cameras[0].height = 300
+    data = sim.simulate(cfg)
+    imgs = sim.render_frames(data, cam=0)
+    return cfg, data, imgs
+
+
+def test_render_produces_dots(rendered):
+    cfg, data, imgs = rendered
+    assert imgs.shape == (3, 300, 400)
+    assert imgs.dtype == np.uint8
+    frac_dark = np.mean(imgs[0] < 128)
+    assert 0.002 < frac_dark < 0.2, frac_dark
+
+
+def test_conic_detection_accuracy(rendered):
+    cfg, data, imgs = rendered
+    params = ConicParams(max_conics=256)
+    out = find_conics(jnp.asarray(imgs[0], jnp.float32), params)
+    centers = np.asarray(out["center"])
+    valid = np.asarray(out["valid"])
+    n_det = valid.sum()
+    P = data.points_3d.shape[0]
+    assert n_det >= 0.95 * P, f"detected {n_det}/{P}"
+
+    # match each detection to the nearest analytic projection
+    true_pix = data.pixels[0, 0]
+    det = centers[valid]
+    d = np.linalg.norm(det[:, None] - true_pix[None], axis=2)
+    nearest = d.min(axis=1)
+    assert np.median(nearest) < 0.2, np.median(nearest)
+    # a couple of stray blobs (merged/corner) are fine; grid match culls them
+    assert np.percentile(nearest, 95) < 0.5, np.percentile(nearest, 95)
+
+
+def test_grid_match_end_to_end(rendered):
+    cfg, data, imgs = rendered
+    params = ConicParams(max_conics=256)
+    target = cfg.target
+    for k in range(len(imgs)):
+        out = find_conics(jnp.asarray(imgs[k], jnp.float32), params)
+        centers = np.asarray(out["center"])
+        radii = np.asarray(out["radius"])
+        valid = np.asarray(out["valid"])
+        m = match_target(centers, radii, valid, target)
+        assert m.ok, f"frame {k}: no grid match"
+        # sub-min_area small dots at range and occasional merges cost a few
+        # associations — the reference's filters behave the same way
+        assert m.n_matched > 0.8 * target.n_points, m.n_matched
+
+        # verify associations against ground truth projections
+        true_pix = data.pixels[0, k]       # ordered row-major by grid index
+        matched = m.grid_coords[:, 0] >= 0
+        gidx = (m.grid_coords[matched, 1] * target.cols
+                + m.grid_coords[matched, 0])
+        err = np.linalg.norm(centers[matched] - true_pix[gidx], axis=1)
+        assert np.median(err) < 0.2, np.median(err)
+        # occasional merged blobs yield ~2 px outliers; the solver's robust
+        # loss / outlier removal handles those
+        assert np.percentile(err, 95) < 0.5, np.percentile(err, 95)
+        assert err.max() < 3.0, err.max()

@@ -9,7 +9,7 @@ from vicalib_tpu.dist import ShardedLMStep, make_mesh
 from vicalib_tpu.io import sim
 from vicalib_tpu.solver import StageFlags, frame_mask, shared_mask
 from vicalib_tpu.solver.build import problem_from_sim
-from vicalib_tpu.solver.lm import LMSolver
+from vicalib_tpu.solver.lm import lm_step_jit
 
 
 @pytest.fixture(scope="module")
@@ -37,9 +37,8 @@ def test_sharded_step_matches_single(vi_problem):
     one = jnp.asarray(1.0)
     rot = jnp.asarray(False)
 
-    single = LMSolver(data)
-    s1, lam1, cost1, trial1, acc1, gn1, sn1 = single._step(
-        state, lam, W, fmask, smask, one, rot)
+    s1, lam1, cost1, trial1, acc1, gn1 = lm_step_jit(
+        data, state, lam, W, fmask, smask, one, rot)
 
     sh = ShardedLMStep(data, mesh=make_mesh(8))
     step = sh.make_step()
@@ -62,12 +61,11 @@ def test_sharded_visual_only(vi_problem):
     smask = shared_mask(data.layout, flags)
     K = len(data.imu.start)
     W = jnp.tile(jnp.eye(9, dtype=jnp.float64)[None] * 500.0, (K, 1, 1))
-    single = LMSolver(data)
     lam = jnp.asarray(1e-4)
     zero = jnp.asarray(0.0)
     rot = jnp.asarray(False)
-    s1, _, cost1, trial1, _, _, _ = single._step(
-        state, lam, W, fmask, smask, zero, rot)
+    s1, _, cost1, trial1, _, _ = lm_step_jit(
+        data, state, lam, W, fmask, smask, zero, rot)
 
     sh = ShardedLMStep(data, mesh=make_mesh(4))
     step = sh.make_step()

@@ -1,0 +1,153 @@
+"""Full-pipeline integration test — the vi_sim_test analog
+(testing/vi_sim_test.cpp:12-95): a simulated dataset on disk (PGM images +
+CSV IMU), driven through the engine exactly as the CLI would, with the
+reference's accuracy assertions on the result.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from vicalib_tpu.config import VicalibConfig
+from vicalib_tpu.geometry import quat_np
+from vicalib_tpu.io import sim, sources
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vi_sim_like")
+    img_dir = root / "images"
+    imu_dir = root / "imu"
+    img_dir.mkdir()
+    imu_dir.mkdir()
+
+    cfg = sim.default_mono_config(
+        n_frames=30, model="linear", imu=True, imu_rate=100.0,
+        distance=0.42, orbit_radius=0.25,
+        gyro_bias=np.array([0.01, -0.02, 0.015]),
+        accel_bias=np.array([0.05, 0.02, -0.04]))
+    cfg.cameras[0].params[:4] = [240.0, 240.0, 200.0, 150.0]
+    cfg.cameras[0].width, cfg.cameras[0].height = 400, 300
+    data = sim.simulate(cfg)
+    imgs = sim.render_frames(data, cam=0)
+    for k, img in enumerate(imgs):
+        sources.write_pgm(str(img_dir / f"frame_{k:05d}.pgm"), img)
+    np.savetxt(str(img_dir / "timestamps.txt"), data.frame_times)
+    np.savetxt(str(imu_dir / "accel.txt"), data.accel)
+    np.savetxt(str(imu_dir / "gyro.txt"), data.gyro)
+    np.savetxt(str(imu_dir / "timestamp.txt"), data.imu_times)
+    return root, cfg, data
+
+
+def test_engine_end_to_end_vi(dataset, tmp_path):
+    root, sim_cfg, data = dataset
+    out_xml = tmp_path / "cameras.xml"
+    cfg = VicalibConfig(
+        cam=f"file://{root}/images/*.pgm",
+        imu=f"csv://{root}/imu",
+        models="linear",
+        use_only_when_static=False,
+        has_initial_guess=False,
+        calibrate_imu=True,
+        output=str(out_xml),
+    )
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        engine = VicalibEngine(cfg)
+        result = engine.run()
+    finally:
+        os.chdir(cwd)
+
+    # vi_sim_test.cpp:7-10 tolerances (looser T_ck/intrinsics: detection at
+    # this downscaled test resolution is ~0.05 px noisier than the fixture)
+    assert result.success, result.stats
+    q_est, t_est = result.stats.t_ck_vec[0]
+    q_true, t_true = sim_cfg.cameras[0].T_ck
+    dq = quat_np.quat_mul(quat_np.inverse(np.asarray(q_true)), q_est)
+    rot_err = np.linalg.norm(quat_np.log(dq))
+    trans_err = np.linalg.norm(t_est - np.asarray(t_true))
+    assert rot_err < 5e-3, rot_err
+    assert trans_err < 5e-3, trans_err
+    assert result.stats.reprojection_error[0] < 0.1
+    est_params = result.stats.cam_intrinsics[0][:4]
+    np.testing.assert_allclose(est_params, sim_cfg.cameras[0].params[:4],
+                               atol=5.0)
+    assert abs(result.stats.ts) < 1e-3
+
+    # cameras.xml round trip
+    from vicalib_tpu.io.outputs import read_cameras_xml
+    cams = read_cameras_xml(str(out_xml))
+    assert cams[0]["model"] == "linear"
+    np.testing.assert_allclose(cams[0]["params"], est_params, atol=1e-9)
+
+
+def test_engine_visual_only(dataset, tmp_path):
+    root, sim_cfg, data = dataset
+    cfg = VicalibConfig(
+        cam=f"file://{root}/images/*.pgm",
+        models="linear",
+        calibrate_imu=False,
+        output=str(tmp_path / "cameras.xml"),
+        save_poses=True,
+        print_poses=True,
+    )
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = VicalibEngine(cfg).run()
+    finally:
+        os.chdir(cwd)
+    assert result.success
+    assert result.stats.reprojection_error[0] < 0.1
+    assert (tmp_path / "poses.csv").exists()
+    assert (tmp_path / "poses.txt").exists()
+
+
+def test_cli_parsing_gflags_style():
+    from vicalib_tpu.cli import parse_args
+    cfg, _ = parse_args([
+        "-models", "linear", "-cam", "file:///x/*.pgm", "-imu", "csv:///y",
+        "-nouse_only_when_static", "-nohas_initial_guess",
+        "-grid_preset", "medium", "-noexit_vicalib_on_finish"])
+    assert cfg.models == "linear"
+    assert cfg.cam == "file:///x/*.pgm"
+    assert not cfg.use_only_when_static
+    assert not cfg.has_initial_guess
+    assert cfg.grid_preset == "medium"
+    assert not cfg.exit_vicalib_on_finish
+
+
+def test_pattern_export(tmp_path):
+    from vicalib_tpu.cli import main
+    eps = tmp_path / "pattern.eps"
+    svg = tmp_path / "pattern.svg"
+    assert main(["-output_pattern_file", str(eps)]) == 0
+    assert main(["-output_pattern_file", str(svg)]) == 0
+    assert eps.read_text().startswith("%!PS-Adobe")
+    assert "<svg" in svg.read_text()
+
+
+def test_native_loader_roundtrip(tmp_path):
+    """Native C++ PGM batch decode matches the python reader."""
+    from vicalib_tpu.io import native, sources
+    rng = np.random.default_rng(0)
+    paths = []
+    imgs = []
+    for k in range(5):
+        img = rng.integers(0, 255, size=(48, 64), dtype=np.uint8)
+        p = str(tmp_path / f"im{k}.pgm")
+        sources.write_pgm(p, img)
+        paths.append(p)
+        imgs.append(img)
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    batch = native.read_pgm_batch(paths, 64, 48)
+    assert batch is not None
+    np.testing.assert_array_equal(batch, np.stack(imgs))
+    one = native.read_pgm(paths[0])
+    np.testing.assert_array_equal(one, imgs[0])

@@ -1,0 +1,340 @@
+"""VicalibEngine: end-to-end calibration orchestration.
+
+Reference analog: VicalibEngine + VicalibTask (src/vicalib-engine.cc:112-586,
+src/vicalib-task.cc:76-857) — sensor replay, static-motion gating, detection,
+measurement assembly, the staged solve, success validation, and output
+writing.  Redesigned batch-first: frames are ingested and detected in bulk
+(vmapped conic finder per channel + host grid association), then one staged
+solver run replaces the background solver thread.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+
+import numpy as np
+
+from .config import VicalibConfig
+from .geometry import quat_np
+from .io import outputs as out_io
+from .io import sources
+from .targets import grid as grid_mod
+from .targets import pattern_export
+from .targets.grid_match import match_target
+from .utils import BoxcarFilter, CalibrationStats, CalibrationStatus
+
+log = logging.getLogger("vicalib_tpu.engine")
+
+
+@dataclasses.dataclass
+class EngineResult:
+    success: bool
+    stats: CalibrationStats
+    state: object
+    result: object                 # solver StagedResult
+    model_names: list
+
+
+def _detect_all(images, target, cfg, max_conics=512):
+    """Detect + associate the grid in every frame of one channel.
+
+    images: (F, H, W) uint8.  Returns pixels (F, P, 2), visible (F, P),
+    conic_rows (list for -output_conics).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .detect.conics import ConicParams, find_conics
+
+    F = len(images)
+    P = target.n_points
+    params = ConicParams(max_conics=max_conics)
+
+    batched = jax.jit(jax.vmap(
+        lambda im: find_conics(im, params)))
+    # chunk frames to bound memory
+    chunk = 32
+    outs = []
+    imgs = jnp.asarray(np.stack(images), jnp.float32)
+    for i in range(0, F, chunk):
+        outs.append(jax.tree_util.tree_map(
+            np.asarray, batched(imgs[i:i + chunk])))
+    det = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+    pixels = np.zeros((F, P, 2))
+    visible = np.zeros((F, P), dtype=bool)
+    conic_rows = []
+    for k in range(F):
+        m = match_target(det["center"][k], det["radius"][k],
+                         det["valid"][k], target)
+        if not m.ok:
+            continue
+        sel = m.grid_coords[:, 0] >= 0
+        gidx = (m.grid_coords[sel, 1] * target.cols
+                + m.grid_coords[sel, 0])
+        pixels[k, gidx] = det["center"][k][sel]
+        visible[k, gidx] = True
+        if cfg.output_conics:
+            pts = target.circles_3d()
+            for ci, gi in zip(np.where(sel)[0], gidx):
+                u, v = det["center"][k][ci]
+                x, y, z = pts[gi]
+                conic_rows.append((k, int(gi), u, v, x, y, z))
+    return pixels, visible, conic_rows
+
+
+def make_grid(cfg: VicalibConfig) -> grid_mod.TargetGrid:
+    """CreateGrid (vicalib-engine.cc:453-495)."""
+    if cfg.grid_preset:
+        target = grid_mod.load_preset(cfg.grid_preset)
+    else:
+        target = grid_mod.TargetGrid(
+            grid_mod.make_pattern(cfg.grid_height, cfg.grid_width,
+                                  cfg.grid_seed),
+            cfg.grid_spacing, cfg.grid_large_rad, cfg.grid_small_rad)
+    if cfg.output_pattern_file:
+        path = cfg.output_pattern_file
+        if path.lower().endswith(".eps"):
+            pattern_export.save_eps(target, path)
+        else:
+            pattern_export.save_svg(target, path)
+        log.info("File %s saved", path)
+    return target
+
+
+def camera_calibrations_differ(cfg, model_name, last_params, cur_params,
+                               last_T, cur_T):
+    """Success validation vs a previous calibration
+    (CameraCalibrationsDiffer, vicalib-task.cc:714-805)."""
+    diffs = np.abs(np.asarray(last_params) - np.asarray(cur_params))
+    lims = [cfg.max_fx_diff, cfg.max_fy_diff, cfg.max_cx_diff,
+            cfg.max_cy_diff]
+    for i, lim in enumerate(lims):
+        if diffs[i] > lim:
+            log.error("intrinsic %d differs too much (%f)", i, diffs[i])
+            return True
+    if model_name == "fov" and diffs[4] > cfg.max_fov_w_diff:
+        log.error("fov distortion differs too much (%f)", diffs[4])
+        return True
+    if model_name == "poly3" and (
+            diffs[4] > cfg.max_poly3_diff_k1
+            or diffs[5] > cfg.max_poly3_diff_k2
+            or diffs[6] > cfg.max_poly3_diff_k3):
+        log.error("poly3 distortion differs too much")
+        return True
+    dist = np.linalg.norm(np.asarray(last_T[1]) - np.asarray(cur_T[1]))
+    if dist > cfg.max_camera_trans_diff:
+        log.error("camera position differs by %f", dist)
+        return True
+    dq = quat_np.quat_mul(quat_np.inverse(np.asarray(last_T[0])),
+                          np.asarray(cur_T[0]))
+    R = quat_np.to_matrix(dq)
+    ax = np.arctan2(R[2, 1], R[2, 2])
+    ay = np.arctan2(-R[2, 0], np.hypot(R[2, 1], R[2, 2]))
+    az = np.arctan2(R[1, 0], R[0, 0])
+    if max(abs(ax), abs(ay), abs(az)) > cfg.max_camera_angle_diff:
+        log.error("camera orientations differ: %f %f %f", ax, ay, az)
+        return True
+    return False
+
+
+def imu_calibration_differs(cfg, last_biases, cur_biases):
+    """IMU bias drift check.  The reference's comparisons are inverted
+    (`< FLAGS_max_imu_*_diff` triggers the error path, vicalib-task.cc:811-827
+    — a latent bug); this implements the intended `>` semantics."""
+    diff = np.abs(np.asarray(last_biases) - np.asarray(cur_biases))
+    if np.any(diff[:3] > cfg.max_imu_gyro_diff):
+        log.error("gyro biases differ: %s", diff[:3])
+        return True
+    if np.any(diff[3:] > cfg.max_imu_accel_diff):
+        log.error("accel biases differ: %s", diff[3:])
+        return True
+    return False
+
+
+class VicalibEngine:
+    def __init__(self, config: VicalibConfig, update_stats_callback=None):
+        self.cfg = config
+        self.cfg.apply_static_preset()
+        self.update_stats = update_stats_callback or (lambda s: None)
+        self.target = make_grid(config)
+
+    def _model_names(self, n_channels):
+        cfg = self.cfg
+        if cfg.model_files:
+            cams = []
+            for path in cfg.model_files.split(","):
+                cams.extend(out_io.read_cameras_xml(path))
+            return [c["model"] for c in cams], cams
+        names = [m for m in cfg.models.split(",") if m]
+        if len(names) < n_channels:
+            log.info("Only %d models declared; assuming poly3 for the rest",
+                     len(names))
+            names += ["poly3"] * (n_channels - len(names))
+        return names[:n_channels], None
+
+    def run(self) -> EngineResult:
+        import jax.numpy as jnp
+
+        from .solver import StageFlags, run_staged
+        from .solver.build import build_problem
+        from .solver.lm import LMOptions
+
+        cfg = self.cfg
+        if not cfg.cam:
+            raise ValueError("No camera URI given")
+        camera = sources.parse_camera_uri(cfg.cam)
+        camera.frame_rate = cfg.frame_rate_hint
+        imu = sources.parse_imu_uri(cfg.imu) if cfg.imu else None
+        if imu is None:
+            cfg.calibrate_imu = False
+
+        C = camera.num_channels
+        model_names, preload = self._model_names(C)
+        stats = CalibrationStats(C, status=CalibrationStatus.CAPTURING)
+
+        # ---- capture loop: gating + frame selection
+        # (vicalib-engine.cc:497-555)
+        accel_filter = BoxcarFilter(10, cfg.static_accel_threshold)
+        gyro_filter = BoxcarFilter(10, cfg.static_gyro_threshold)
+        first_imu_time = imu.times[0] if imu is not None and \
+            len(imu.times) else -np.inf
+        imu_cursor = 0
+
+        sel_times = []
+        sel_indices = []
+        skipped = 0
+        for k in range(camera.n_frames):
+            t = camera.timestamp(k)
+            if imu is not None and cfg.use_only_when_static:
+                while imu_cursor < len(imu.times) and \
+                        imu.times[imu_cursor] <= t:
+                    accel_filter.add(imu.accel[imu_cursor])
+                    gyro_filter.add(imu.gyro[imu_cursor])
+                    imu_cursor += 1
+                if not (accel_filter.is_stable()
+                        and gyro_filter.is_stable()):
+                    continue
+            if skipped < cfg.frame_skip:
+                skipped += 1
+                continue
+            skipped = 0
+            if imu is not None and t <= first_imu_time:
+                continue
+            sel_times.append(t)
+            sel_indices.append(k)
+            if (cfg.num_vicalib_frames > 0
+                    and len(sel_times) >= cfg.num_vicalib_frames):
+                break
+
+        if len(sel_times) < 2:
+            raise RuntimeError("not enough usable frames")
+        log.info("selected %d/%d frames", len(sel_times), camera.n_frames)
+        sel_images = [camera.read_batch(c, sel_indices) for c in range(C)]
+
+        # ---- detection (vicalib-task.cc:247-368)
+        F = len(sel_times)
+        pixels = []
+        visible = []
+        conic_rows_all = []
+        for c in range(C):
+            pix, vis, rows = _detect_all(sel_images[c], self.target, cfg)
+            pixels.append(pix)
+            visible.append(vis)
+            conic_rows_all.extend(rows)
+            stats.num_frames_processed[c] = int(np.sum(vis.any(axis=1)))
+        pixels = np.stack(pixels)
+        visible = np.stack(visible)
+        if cfg.output_conics:
+            out_io.write_conics_csv("conics.csv", conic_rows_all)
+
+        # ---- problem assembly + staged solve
+        stats.status = CalibrationStatus.OPTIMIZING
+        self.update_stats(stats.copy())
+        dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        intr0 = None
+        T_ck0 = None
+        if preload is not None:
+            intr0 = [c["params"] for c in preload]
+            T_ck0 = []
+            for c in preload:
+                # stored pose is T_wc with RDF baked; invert the baking
+                T = np.eye(4)
+                T[:3, :] = c["T_wc"]
+                q_wc = quat_np.from_matrix(T[:3, :3])
+                t_wc = T[:3, 3]
+                if cfg.calibrate_imu:
+                    q_r = quat_np.from_matrix(np.linalg.inv(
+                        out_io.RDF_ROBOTICS))
+                    q_wc, t_wc = quat_np.se3_mul(
+                        (q_wc, t_wc), quat_np.se3_inverse(
+                            (q_r, np.zeros(3))))
+                T_ck0.append(quat_np.se3_inverse((q_wc, t_wc)))
+        heights = [img[0].shape[0] for img in sel_images]
+        widths = [img[0].shape[1] for img in sel_images]
+
+        kw = {}
+        if imu is not None:
+            kw = dict(imu_times=imu.times, gyro=imu.gyro, accel=imu.accel)
+        data, state = build_problem(
+            model_names, np.asarray(sel_times), pixels, visible,
+            self.target.circles_3d(), widths=widths, heights=heights,
+            dtype=dtype, intr0=intr0, T_ck0=T_ck0, use_ransac=True, **kw)
+
+        flags = StageFlags(
+            calibrate_imu=cfg.calibrate_imu,
+            inertial_active=cfg.has_initial_guess and cfg.calibrate_imu,
+            rotation_only=not cfg.has_initial_guess,
+            bias_active=cfg.has_initial_guess,
+            scale_active=cfg.has_initial_guess,
+            optimize_time_offset=cfg.find_time_offset,
+            fix_intrinsics=not cfg.calibrate_intrinsics)
+        options = LMOptions(max_iters=cfg.max_iters,
+                            function_tolerance=cfg.function_tolerance)
+        result = run_staged(
+            state, data, flags, options,
+            do_remove_outliers=cfg.remove_outliers,
+            outlier_threshold=cfg.outlier_threshold,
+            gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma)
+        state = result.state
+
+        # ---- stats + validation (vicalib-task.cc:831-856)
+        stats.total_mse = result.mse
+        stats.reprojection_error = [float(r) for r in result.cam_rmse]
+        stats.num_iterations = result.total_iterations
+        stats.ts = float(state.time_offset)
+        stats.t_ck_vec = [(np.asarray(state.q_ck[c]),
+                           np.asarray(state.p_ck[c])) for c in range(C)]
+        stats.cam_intrinsics = [np.asarray(state.intr[c]) for c in range(C)]
+
+        success = all(r <= cfg.max_reprojection_error
+                      for r in stats.reprojection_error)
+        if success and cfg.has_initial_guess and preload is not None:
+            for c in range(C):
+                if camera_calibrations_differ(
+                        cfg, model_names[c], intr0[c],
+                        stats.cam_intrinsics[c], T_ck0[c],
+                        stats.t_ck_vec[c]):
+                    success = False
+            if imu is not None and imu_calibration_differs(
+                    cfg, np.zeros(6), np.asarray(state.biases)):
+                success = False
+        stats.status = (CalibrationStatus.SUCCESS if success
+                        else CalibrationStatus.FAILURE)
+        self.update_stats(stats.copy())
+
+        # ---- outputs (vicalib-engine.cc:355-373, 406-422)
+        out_io.write_cameras_xml(
+            cfg.output, model_names, stats.cam_intrinsics,
+            stats.t_ck_vec, widths, heights,
+            calibrate_imu=cfg.calibrate_imu)
+        if cfg.print_poses:
+            good = visible.any(axis=(0, 2))
+            out_io.write_poses_txt("poses.txt", state.q_wk, state.t_wk,
+                                   good=good)
+        if cfg.save_poses:
+            out_io.write_poses_csv("poses.csv", state.q_wk, state.t_wk)
+
+        return EngineResult(success=success, stats=stats, state=state,
+                            result=result, model_names=model_names)

@@ -285,3 +285,70 @@ def default_mono_config(n_frames=60, model="poly2", imu=False, **kw) -> SimConfi
     cam = SimRigCamera(model=model, params=params, T_ck=T_ck)
     return SimConfig(cameras=[cam], target=make_target(), n_frames=n_frames,
                      **kw)
+
+
+def render_frames(data: SimData, cam: int = 0, width=None, height=None,
+                  supersample_edge=1.0):
+    """Render grayscale frames of the dot target for the detection pipeline.
+
+    Inverse mapping: each pixel is unprojected through the true camera model,
+    intersected with the target plane (z=0 world) and shaded by its distance
+    to the nearest dot (smooth edge ~ one pixel footprint), giving clean
+    anti-aliased ellipses under full perspective + lens distortion.
+
+    Returns (F, H, W) uint8 (white background, dark dots).
+    """
+    cfg = data.config
+    camera = cfg.cameras[cam]
+    W = width or camera.width
+    H = height or camera.height
+    model = get_model(camera.model)
+    params = jnp.asarray(camera.params)
+    target = cfg.target
+    dots_xy = jnp.asarray(target.circles_3d()[:, :2])
+    radii = jnp.asarray(target.radii())
+
+    T_ck = (jnp.asarray(camera.T_ck[0]), jnp.asarray(camera.T_ck[1]))
+    qf = jnp.asarray(data.T_wk[0])
+    tf = jnp.asarray(data.T_wk[1])
+
+    us, vs = jnp.meshgrid(jnp.arange(W, dtype=jnp.float64) + 0.0,
+                          jnp.arange(H, dtype=jnp.float64) + 0.0)
+    pix = jnp.stack([us.reshape(-1), vs.reshape(-1)], axis=1)   # (HW, 2)
+    rays = model.unproject(pix, params)                          # (HW, 3)
+
+    def render_one(q_wk, t_wk):
+        # camera pose: T_wc = T_wk * T_ck^-1
+        T_wc = se3.mul((q_wk, t_wk), se3.inverse(T_ck))
+        R_wc = so3.to_matrix(T_wc[0])
+        o = T_wc[1]
+        d = rays @ R_wc.T                                       # (HW, 3)
+        tplane = -o[2] / jnp.where(jnp.abs(d[:, 2]) < 1e-9, 1e-9, d[:, 2])
+        pt = o[None, :2] + tplane[:, None] * d[:, :2]           # (HW, 2)
+        # pixel footprint on the plane ~ z / f
+        foot = jnp.abs(tplane) * jnp.linalg.norm(d[:, :2] * 0 + 1.0,
+                                                 axis=-1) / params[0]
+        edge = jnp.maximum(foot, 1e-6) * supersample_edge
+
+        def row_block(args):
+            p, e = args
+            dist = jnp.sqrt(jnp.sum(
+                (p[:, None, :] - dots_xy[None, :, :]) ** 2, axis=2))
+            cov = jax.nn.sigmoid((radii[None, :] - dist) / (e[:, None] * 0.5))
+            return jnp.max(cov, axis=1)
+
+        n_chunk = 64
+        HW = pt.shape[0]
+        pad = (-HW) % n_chunk
+        p_pad = jnp.pad(pt, ((0, pad), (0, 0)))
+        e_pad = jnp.pad(edge, (0, pad))
+        cov = jax.lax.map(row_block,
+                          (p_pad.reshape(-1, n_chunk, 2),
+                           e_pad.reshape(-1, n_chunk))).reshape(-1)[:HW]
+        cov = jnp.where(tplane > 0, cov, 0.0)
+        img = 255.0 * (1.0 - 0.87 * cov)
+        return img.reshape(H, W).astype(jnp.uint8)
+
+    render = jax.jit(render_one)
+    return np.stack([np.asarray(render(qf[k], tf[k]))
+                     for k in range(len(qf))])

@@ -1,0 +1,172 @@
+"""Data sources: image-file and CSV-IMU replay — the HAL-driver equivalent.
+
+The reference consumes sensors through HAL URIs (reference: README.md:34-48,
+src/vicalib-engine.cc:124-144): ``file://<dir>/images/*.pgm`` for cameras and
+``csv://<dir>/imu`` for IMU streams (accel.txt / gyro.txt / timestamp.txt).
+This module replays the same on-disk layouts.  Multi-channel rigs use one
+glob per channel, ``[glob0,glob1]`` style, like HAL's split-image URIs.
+
+PGM (P2/P5) parsing is native here; PNG/JPG decode via the optional C++
+native loader (native/) or PIL if present.
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob as globlib
+import os
+import re
+
+import numpy as np
+
+
+def read_pgm(path: str) -> np.ndarray:
+    """Read a P5 (binary) or P2 (ascii) PGM file -> (H, W) uint8/uint16."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # header: magic, whitespace/comments, width, height, maxval
+    tokens = []
+    i = 0
+    while len(tokens) < 4:
+        m = re.match(rb"\s*(#[^\n]*\n|\S+)", data[i:])
+        if m is None:
+            raise ValueError(f"bad PGM header in {path}")
+        tok = m.group(1)
+        i += m.end()
+        if not tok.startswith(b"#"):
+            tokens.append(tok)
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), \
+        int(tokens[3])
+    if magic == b"P5":
+        dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+        img = np.frombuffer(data[i + 1:], dtype=dtype,
+                            count=w * h).reshape(h, w)
+        return img.astype(np.uint8) if maxval < 256 else img
+    if magic == b"P2":
+        vals = np.array(data[i:].split(), dtype=int)
+        return vals[:w * h].reshape(h, w).astype(np.uint8)
+    raise ValueError(f"unsupported PGM magic {magic!r} in {path}")
+
+
+def write_pgm(path: str, img: np.ndarray):
+    img = np.asarray(img, dtype=np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"P5\n%d %d\n255\n" % (img.shape[1], img.shape[0]))
+        f.write(img.tobytes())
+
+
+def read_image(path: str) -> np.ndarray:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".pgm":
+        from . import native
+        img = native.read_pgm(path)
+        return img if img is not None else read_pgm(path)
+    try:
+        from PIL import Image
+        img = np.asarray(Image.open(path).convert("L"))
+        return img
+    except ImportError as e:
+        raise ValueError(
+            f"cannot decode {ext} without PIL; use .pgm") from e
+
+
+@dataclasses.dataclass
+class CameraSource:
+    """Replays image files as a (multi-channel) camera.
+
+    Reference analog: hal::Camera with the file:// driver
+    (vicalib-engine.cc:126, 514-527).  Timestamps come from a
+    ``timestamps.txt`` next to the images if present, else the frame index
+    over ``frame_rate``.
+    """
+    channel_globs: list
+    frame_rate: float = 10.0
+
+    def __post_init__(self):
+        self.files = [sorted(globlib.glob(g)) for g in self.channel_globs]
+        n = min(len(f) for f in self.files) if self.files else 0
+        self.n_frames = n
+        self._timestamps = None
+        if self.files and self.files[0]:
+            tdir = os.path.dirname(self.files[0][0])
+            tfile = os.path.join(tdir, "timestamps.txt")
+            if os.path.exists(tfile):
+                self._timestamps = np.loadtxt(tfile).reshape(-1)[:n]
+
+    @property
+    def num_channels(self):
+        return len(self.files)
+
+    def timestamp(self, k: int) -> float:
+        if self._timestamps is not None:
+            return float(self._timestamps[k])
+        return k / self.frame_rate
+
+    def frame(self, k: int):
+        """-> (timestamp, [img per channel])"""
+        return self.timestamp(k), [read_image(f[k]) for f in self.files]
+
+    def read_batch(self, channel: int, indices):
+        """Decode many frames of one channel at once (native thread pool
+        when available — the reference's HAL-driver role)."""
+        paths = [self.files[channel][k] for k in indices]
+        if not paths:
+            return []
+        if all(p.lower().endswith(".pgm") for p in paths):
+            from . import native
+            first = read_image(paths[0])
+            h, w = first.shape
+            batch = native.read_pgm_batch(paths, w, h)
+            if batch is not None:
+                return list(batch)
+        return [read_image(p) for p in paths]
+
+    def __iter__(self):
+        for k in range(self.n_frames):
+            yield self.frame(k)
+
+
+@dataclasses.dataclass
+class ImuSource:
+    """CSV IMU replay: accel.txt / gyro.txt / timestamp.txt in a directory.
+
+    Reference analog: hal::IMU with the csv:// driver (README.md:48,
+    vicalib-engine.cc:136-138).  Each file has one row per sample; accel and
+    gyro rows are 3 values (or 4 with a leading timestamp), timestamp.txt
+    carries the stamps (first column used).
+    """
+    directory: str
+
+    def __post_init__(self):
+        d = self.directory
+        accel = np.atleast_2d(np.loadtxt(os.path.join(d, "accel.txt"),
+                                         delimiter=None))
+        gyro = np.atleast_2d(np.loadtxt(os.path.join(d, "gyro.txt")))
+        ts_path = os.path.join(d, "timestamp.txt")
+        if os.path.exists(ts_path):
+            ts = np.loadtxt(ts_path)
+            # single column -> the stamps; multiple columns -> last column
+            self.times = ts if ts.ndim == 1 else ts[:, -1]
+        else:
+            self.times = accel[:, 0]
+            accel = accel[:, 1:]
+            gyro = gyro[:, 1:]
+        self.accel = accel[:, -3:]
+        self.gyro = gyro[:, -3:]
+        n = min(len(self.times), len(self.accel), len(self.gyro))
+        self.times, self.accel, self.gyro = (
+            self.times[:n], self.accel[:n], self.gyro[:n])
+
+
+def parse_camera_uri(uri: str) -> CameraSource:
+    """Accepts ``file://<glob>``, ``file://[g0,g1]`` or a bare glob."""
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    if path.startswith("["):
+        globs = [g.strip() for g in path.strip("[]").split(",")]
+    else:
+        globs = [path]
+    return CameraSource(globs)
+
+
+def parse_imu_uri(uri: str) -> ImuSource:
+    path = uri[len("csv://"):] if uri.startswith("csv://") else uri
+    return ImuSource(path)

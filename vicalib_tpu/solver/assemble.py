@@ -22,11 +22,26 @@ from .robust import Cauchy, SoftL1
 
 @dataclasses.dataclass
 class ProblemData:
-    """Static problem inputs: observations grouped per camera + IMU windows."""
+    """Problem inputs: observations grouped per camera + IMU windows.
+
+    A pytree (layout/n_frames are static aux data) so it can be a jit
+    argument — one compiled solver serves every same-shaped problem."""
     obs: list                      # list[CameraObs], one per camera
     imu: ImuFactors | None
     layout: SharedLayout
     n_frames: int
+
+
+def _pd_flatten(d):
+    return (d.obs, d.imu), (d.layout, d.n_frames)
+
+
+def _pd_unflatten(aux, children):
+    return ProblemData(obs=children[0], imu=children[1], layout=aux[0],
+                       n_frames=aux[1])
+
+
+jax.tree_util.register_pytree_node(ProblemData, _pd_flatten, _pd_unflatten)
 
 
 def _seg_sum(x, idx, n):

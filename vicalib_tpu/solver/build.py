@@ -80,27 +80,33 @@ def build_problem(
 
     if init_poses:
         # PnP-seed frame poses from camera 0 (vicalib-task.cc:344-349),
-        # using the *initial* intrinsics, as the reference does.  One jit
-        # graph: eager ops are prohibitively slow on the remote-TPU platform.
-        model = get_model(model_names[0])
-
-        @jax.jit
-        def _init(intr, pix, vis, q_ck0, p_ck0, q_wk0, t_wk0):
-            q_wk, t_wk = pnp.init_frame_poses(
-                model, intr[:model.n_params], pix, points_3d, vis,
-                (q_ck0, p_ck0), use_ransac=use_ransac)
-            any_vis = jnp.sum(vis, axis=1) >= 4
-            q_wk = jnp.where(any_vis[:, None], q_wk, q_wk0)
-            t_wk = jnp.where(any_vis[:, None], t_wk, t_wk0)
-            return q_wk, t_wk
-
-        q_wk, t_wk = _init(state.intr[0], jnp.asarray(pixels[0], dtype=dtype),
-                           jnp.asarray(visible[0], dtype=dtype),
-                           state.q_ck[0], state.p_ck[0],
-                           state.q_wk, state.t_wk)
+        # using the *initial* intrinsics, as the reference does.  One
+        # module-level jit graph (cached across problem builds).
+        q_wk, t_wk = _init_poses_jit(
+            model_names[0], bool(use_ransac), state.intr[0],
+            jnp.asarray(pixels[0], dtype=dtype),
+            jnp.asarray(points_3d, dtype=dtype),
+            jnp.asarray(visible[0], dtype=dtype),
+            state.q_ck[0], state.p_ck[0], state.q_wk, state.t_wk)
         state = state._replace(q_wk=q_wk, t_wk=t_wk)
 
     return data, state
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("model_name", "use_ransac"))
+def _init_poses_jit(model_name, use_ransac, intr, pix, p3d, vis,
+                    q_ck0, p_ck0, q_wk0, t_wk0):
+    model = get_model(model_name)
+    q_wk, t_wk = pnp.init_frame_poses(
+        model, intr[:model.n_params], pix, p3d, vis, (q_ck0, p_ck0),
+        use_ransac=use_ransac)
+    any_vis = jnp.sum(vis, axis=1) >= 4
+    q_wk = jnp.where(any_vis[:, None], q_wk, q_wk0)
+    t_wk = jnp.where(any_vis[:, None], t_wk, t_wk0)
+    return q_wk, t_wk
 
 
 def problem_from_sim(sim_data, model_names=None, dtype=jnp.float64,

@@ -1,15 +1,20 @@
 """Levenberg-Marquardt driver over the structured calibration problem.
 
 Replaces the reference's Ceres DOGLEG trust-region solve
-(vicalibrator.h:141-152, 952-974) with a jitted LM iteration: assemble the
-arrow-plus-chain normal equations, Schur-eliminate frames, damped solve,
-manifold retraction, accept/reject with lambda adaptation.  Convergence
+(vicalibrator.h:141-152, 952-974) with a *fully on-device* LM loop: assemble
+the arrow-plus-chain normal equations, Schur-eliminate frames, damped solve,
+manifold retraction, accept/reject with lambda adaptation — all inside one
+``lax.while_loop`` so an entire stage costs a single host round trip (the
+remote-TPU dispatch latency otherwise dominates wall clock).  Convergence
 criteria mirror the reference: function tolerance 1e-6 (solver_options_,
 :149 / vicalib-task.cc:23-24), gradient-norm early stop at 1e-9 (:713-718),
 max iterations 200 (vicalib-engine.cc:94).
 
-Stage switching happens through masks and 0/1 gates passed as *data*, so one
-compiled step serves every stage.
+The fused solve is a *module-level* jit whose problem data is a pytree
+argument: one compile serves every same-shaped problem (no per-run retrace,
+no data constants baked into executables).  Per-iteration IMU covariance
+reweighting (UpdateImuWeights, vicalibrator.h:690-692) runs inside the loop,
+gated by a traced flag so every stage shares one compiled program.
 """
 from __future__ import annotations
 
@@ -24,11 +29,12 @@ import numpy as np
 from .assemble import ProblemData, assemble, robust_costs
 from .problem import CalibState, retract
 from .schur import schur_solve
+from .weights import IMU_ACCEL_SIGMA, IMU_GYRO_SIGMA, imu_weights
 
 log = logging.getLogger("vicalib_tpu.solver")
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class LMOptions:
     max_iters: int = 200
     function_tolerance: float = 1e-6
@@ -50,98 +56,121 @@ class LMInfo:
     n_residuals: int
 
 
+def _lm_step(data, state, lam, weight_sqrt, fmask, smask, inertial_scale,
+             rotation_only, options: LMOptions):
+    D, U, Hfs, Hss, gf, gs, cost, _ = assemble(
+        state, data, weight_sqrt, fmask, smask, inertial_scale,
+        rotation_only)
+    dxf, dxs = schur_solve(D, U, Hfs, Hss, gf, gs, damping=lam)
+    dxf = dxf * fmask
+    dxs = dxs * smask
+    trial = retract(state, data.layout, dxf, dxs)
+    trial_cost, _, _ = robust_costs(
+        trial, data, weight_sqrt, inertial_scale, rotation_only)
+    accept = trial_cost < cost
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), trial, state)
+    new_lam = jnp.where(
+        accept,
+        jnp.maximum(lam / options.lam_down, options.lam_min),
+        jnp.minimum(lam * options.lam_up, options.lam_max))
+    gnorm = jnp.sqrt(jnp.sum(gf * gf) + jnp.sum(gs * gs))
+    return new_state, new_lam, cost, trial_cost, accept, gnorm
+
+
+def _get_weights(data, state, seed_weight, use_cov_weights, sigmas):
+    if data.imu is None or sigmas is None:
+        return seed_weight
+    return jax.lax.cond(
+        use_cov_weights,
+        lambda s: imu_weights(s, data.imu, sigmas[0], sigmas[1]),
+        lambda s: seed_weight, state)
+
+
+@partial(jax.jit, static_argnames=("options", "sigmas"))
+def fused_solve(data: ProblemData, state: CalibState, fmask, smask,
+                inertial_scale, rotation_only, use_cov_weights, seed_weight,
+                options: LMOptions, sigmas):
+    """Full LM solve in one device program.  ``sigmas`` is a static
+    (gyro_sigma, accel_sigma) tuple, or None to disable cov reweighting."""
+    # TPU float32 matmuls default to bfloat16 passes — fatal for normal
+    # equations; force full precision throughout the solver.
+    with jax.default_matmul_precision("highest"):
+        dtype = state.t_wk.dtype
+        lam0 = jnp.asarray(options.lam0, dtype)
+
+        def cond(carry):
+            _, _, _, it, done = carry
+            return (~done) & (it < options.max_iters)
+
+        def body(carry):
+            state, lam, _, it, done = carry
+            W = _get_weights(data, state, seed_weight, use_cov_weights,
+                             sigmas)
+            new_state, new_lam, cost, trial_cost, accept, gnorm = _lm_step(
+                data, state, lam, W, fmask, smask, inertial_scale,
+                rotation_only, options)
+            converged = (accept
+                         & ((cost - trial_cost)
+                            < options.function_tolerance * cost))
+            converged |= (gnorm > 0) & (gnorm < options.gradient_tolerance)
+            converged |= lam >= options.lam_max
+            return (new_state, new_lam,
+                    jnp.where(accept, trial_cost, cost), it + 1, converged)
+
+        init = (state, lam0, jnp.asarray(jnp.inf, dtype), 0,
+                jnp.asarray(False))
+        state, lam, cost, it, done = jax.lax.while_loop(cond, body, init)
+        W = _get_weights(data, state, seed_weight, use_cov_weights, sigmas)
+        final_cost, cam_sq, cam_cnt = robust_costs(
+            state, data, W, inertial_scale, rotation_only)
+        return state, final_cost, cam_sq, cam_cnt, it, done
+
+
+@partial(jax.jit, static_argnames=("options",))
+def lm_step_jit(data, state, lam, weight_sqrt, fmask, smask, inertial_scale,
+                rotation_only, options: LMOptions = LMOptions()):
+    """One LM step (module-level jit; used by the driver entry point)."""
+    with jax.default_matmul_precision("highest"):
+        return _lm_step(data, state, lam, weight_sqrt, fmask, smask,
+                        inertial_scale, rotation_only, options)
+
+
+def _device_problem(data: ProblemData) -> ProblemData:
+    """Move problem arrays to device once (avoids re-uploads per call)."""
+    return jax.tree_util.tree_map(jnp.asarray, data)
+
+
 class LMSolver:
-    """Holds jitted step/cost functions for one ProblemData instance."""
+    """Thin wrapper binding a ProblemData to the module-level fused solve."""
 
-    def __init__(self, data: ProblemData, options: LMOptions = LMOptions()):
-        self.data = data
+    def __init__(self, data: ProblemData, options: LMOptions = LMOptions(),
+                 sigmas=None):
+        self.data = _device_problem(data)
         self.options = options
-        self._step = jax.jit(self._step_impl)
-        self._cost = jax.jit(self._cost_impl)
+        self.sigmas = sigmas
 
-    def _cost_impl(self, state, weight_sqrt, inertial_scale, rotation_only):
-        return robust_costs(state, self.data, weight_sqrt, inertial_scale,
-                            rotation_only)
-
-    def _step_impl(self, state, lam, weight_sqrt, fmask, smask,
-                   inertial_scale, rotation_only):
-        D, U, Hfs, Hss, gf, gs, cost, _ = assemble(
-            state, self.data, weight_sqrt, fmask, smask, inertial_scale,
-            rotation_only)
-        dxf, dxs = schur_solve(D, U, Hfs, Hss, gf, gs, damping=lam)
-        dxf = dxf * fmask
-        dxs = dxs * smask
-        trial = retract(state, self.data.layout, dxf, dxs)
-        trial_cost, _, _ = robust_costs(
-            trial, self.data, weight_sqrt, inertial_scale, rotation_only)
-        accept = trial_cost < cost
-        new_state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), trial, state)
-        opts = self.options
-        new_lam = jnp.where(
-            accept,
-            jnp.maximum(lam / opts.lam_down, opts.lam_min),
-            jnp.minimum(lam * opts.lam_up, opts.lam_max))
-        gnorm = jnp.sqrt(jnp.sum(gf * gf) + jnp.sum(gs * gs))
-        step_norm = jnp.sqrt(jnp.sum(dxf * dxf) + jnp.sum(dxs * dxs))
-        return new_state, new_lam, cost, trial_cost, accept, gnorm, step_norm
-
-    def solve(self, state: CalibState, fmask, smask, weight_fn=None,
-              inertial_scale=0.0, rotation_only=False, seed_weight=None,
-              callback=None):
-        """Run LM to convergence.  ``weight_fn(state) -> (K,9,9)`` recomputes
-        the IMU whitening each iteration (UpdateImuWeights per-iteration
-        behavior, vicalibrator.h:690-692); ``seed_weight`` is used when
-        weight_fn is None (the I*500 seed, :616)."""
-        opts = self.options
+    def solve(self, state: CalibState, fmask, smask, use_cov_weights=False,
+              inertial_scale=0.0, rotation_only=False, seed_weight=None):
+        """Run LM to convergence in one device call."""
         dtype = state.t_wk.dtype
         K = len(self.data.imu.start) if self.data.imu is not None else 1
         if seed_weight is None:
-            seed_weight = jnp.tile(jnp.eye(9, dtype=dtype) * 500.0, (K, 1, 1))
-        lam = jnp.asarray(opts.lam0, dtype)
-        inertial_scale = jnp.asarray(inertial_scale, dtype)
-        rotation_only = jnp.asarray(rotation_only, bool)
-
-        cost_prev = None
-        it = 0
-        gnorm = np.inf
-        converged = False
-        n_accepted = 0
-        for it in range(1, opts.max_iters + 1):
-            W = weight_fn(state) if weight_fn is not None else seed_weight
-            state, lam, cost, trial_cost, accept, gnorm, step_norm = \
-                self._step(state, lam, W, fmask, smask, inertial_scale,
-                           rotation_only)
-            cost, trial_cost = float(cost), float(trial_cost)
-            accept = bool(accept)
-            gnorm = float(gnorm)
-            if callback:
-                callback(it, cost, trial_cost, accept, gnorm)
-            log.debug("it %3d cost %.6e -> %.6e %s lam %.1e |g| %.2e",
-                      it, cost, trial_cost, "acc" if accept else "rej",
-                      float(lam), gnorm)
-            if accept:
-                n_accepted += 1
-                if (cost - trial_cost) < opts.function_tolerance * cost:
-                    converged = True
-                    break
-                cost_prev = trial_cost
-            if gnorm > 0 and gnorm < opts.gradient_tolerance:
-                converged = True
-                break
-            if float(lam) >= opts.lam_max:
-                converged = True  # cannot make progress; treat as done
-                break
-
-        W = weight_fn(state) if weight_fn is not None else seed_weight
-        final_cost, cam_sq, cam_cnt = self._cost(
-            state, W, inertial_scale, rotation_only)
+            # the I*500 seed weight (vicalibrator.h:616)
+            seed_weight = jnp.tile(jnp.eye(9, dtype=dtype) * 500.0,
+                                   (K, 1, 1))
+        out = fused_solve(self.data, state, fmask, smask,
+                          jnp.asarray(inertial_scale, dtype),
+                          jnp.asarray(rotation_only, bool),
+                          jnp.asarray(use_cov_weights, bool), seed_weight,
+                          self.options, self.sigmas)
+        state, final_cost, cam_sq, cam_cnt, it, done = out
         cam_sq = np.asarray(cam_sq)
         cam_cnt = np.maximum(np.asarray(cam_cnt), 1.0)
         # Ceres-style per-camera "rmse": sqrt((1/2 sum |r|^2) / n_blocks)
         # (vicalibrator.h:959-971, Problem::Evaluate cost = 1/2 sum r^2)
         cam_rmse = np.sqrt(0.5 * cam_sq / cam_cnt)
-        info = LMInfo(cost=float(final_cost), iterations=it,
-                      gradient_norm=gnorm, converged=converged,
+        info = LMInfo(cost=float(final_cost), iterations=int(it),
+                      gradient_norm=float("nan"), converged=bool(done),
                       cam_rmse=cam_rmse, n_residuals=int(np.sum(cam_cnt)))
         return state, info

@@ -44,12 +44,13 @@ class CalibState(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class SharedLayout:
-    """Static indexing of the shared tangent block."""
+    """Static indexing of the shared tangent block (hashable: used as pytree
+    aux metadata / jit static argument)."""
     model_names: tuple               # per camera
-    cam_rot: np.ndarray              # (C,) start index of extrinsic rot
-    cam_trans: np.ndarray            # (C,)
-    cam_intr: np.ndarray             # (C,)
-    n_intr: np.ndarray               # (C,) model n_params
+    cam_rot: tuple                   # (C,) start index of extrinsic rot
+    cam_trans: tuple                 # (C,)
+    cam_intr: tuple                  # (C,)
+    n_intr: tuple                    # (C,) model n_params
     g: int
     biases: int
     scales: int
@@ -72,8 +73,8 @@ class SharedLayout:
         biases = off + 2
         scales = off + 8
         toff = off + 14
-        return SharedLayout(names, np.asarray(rot), np.asarray(trans),
-                            np.asarray(intr), np.asarray(nintr),
+        return SharedLayout(names, tuple(rot), tuple(trans),
+                            tuple(intr), tuple(nintr),
                             g, biases, scales, toff, toff + 1)
 
     @property

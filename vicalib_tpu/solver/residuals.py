@@ -28,7 +28,11 @@ from .problem import CalibState, SharedLayout
 
 @dataclasses.dataclass
 class CameraObs:
-    """Observations for one camera (static shapes; invalid rows masked)."""
+    """Observations for one camera (static shapes; invalid rows masked).
+
+    Registered as a pytree so problem data flows through jit as *arguments*
+    (one compile serves every same-shaped problem) instead of being baked
+    into executables as constants."""
     frame_idx: np.ndarray   # (N,) int32
     p_w: np.ndarray         # (N, 3) target points (world frame)
     p_c: np.ndarray         # (N, 2) measured pixels
@@ -184,3 +188,24 @@ def imu_residuals_and_jacobians(state: CalibState, imu: ImuFactors,
         return r, J1, J2, J_sh
 
     return jax.vmap(one)(pose1, pose2, *arrs, weight_sqrt)
+
+
+def _obs_flatten(o):
+    return (o.frame_idx, o.p_w, o.p_c, o.valid), None
+
+
+def _obs_unflatten(aux, children):
+    return CameraObs(*children)
+
+
+def _imu_flatten(o):
+    return (o.win_times, o.win_gyro, o.win_accel, o.start, o.end,
+            o.has_meas, o.frame_i), None
+
+
+def _imu_unflatten(aux, children):
+    return ImuFactors(*children)
+
+
+jax.tree_util.register_pytree_node(CameraObs, _obs_flatten, _obs_unflatten)
+jax.tree_util.register_pytree_node(ImuFactors, _imu_flatten, _imu_unflatten)

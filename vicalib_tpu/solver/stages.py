@@ -35,9 +35,7 @@ from .residuals import reproj_residuals
 
 log = logging.getLogger("vicalib_tpu.solver")
 
-# IMU measurement sigmas (types.h:34-35), overridable by flags
-IMU_GYRO_SIGMA = 5.3088444e-5
-IMU_ACCEL_SIGMA = 0.001883649
+from .weights import IMU_ACCEL_SIGMA, IMU_GYRO_SIGMA  # noqa: F401 (re-export)
 
 
 @dataclasses.dataclass
@@ -48,64 +46,6 @@ class StagedResult:
     mse: float
     cam_rmse: np.ndarray
     total_iterations: int
-
-
-def make_imu_weight_fn(data: ProblemData, gyro_sigma=IMU_GYRO_SIGMA,
-                       accel_sigma=IMU_ACCEL_SIGMA):
-    """Jitted state -> (K, 9, 9) whitening weights (UpdateImuWeights analog).
-
-    cov10 = J_g Sigma_g J_g^T + J_a Sigma_a J_a^T with J the end-state
-    jacobian w.r.t. the window's raw samples; cov9 transforms through the
-    residual map [log(T_end T_2^-1); v_end - v2]; weight = (cov9)^-1/2
-    (vicalibrator.h:747-796).
-    """
-    imu = data.imu
-    wt = jnp.asarray(imu.win_times)
-    wg = jnp.asarray(imu.win_gyro)
-    wa = jnp.asarray(imu.win_accel)
-    starts = jnp.asarray(imu.start)
-    ends = jnp.asarray(imu.end)
-    has = jnp.asarray(imu.has_meas)
-
-    def one(state, k_q1, k_t1, k_v1, k_q2, k_t2, k_v2, wtk, wgk, wak, s, e, h):
-        def endstate(gyro_vals, accel_vals):
-            return preintegrate.end_state(
-                (k_q1, k_t1), k_v1, wtk, gyro_vals, accel_vals, s, e,
-                state.g_dir, state.biases[:3], state.biases[3:], state.scales,
-                state.time_offset)
-
-        y = endstate(wgk, wak)
-        Jg, Ja = jax.jacrev(endstate, argnums=(0, 1))(wgk, wak)
-        M = wtk.shape[0]
-        Jg = Jg.reshape(10, 3 * M)
-        Ja = Ja.reshape(10, 3 * M)
-        cov10 = (gyro_sigma ** 2) * (Jg @ Jg.T) + \
-            (accel_sigma ** 2) * (Ja @ Ja.T)
-
-        def res_of_y(y10):
-            T_end = (y10[3:7] / jnp.linalg.norm(y10[3:7]), y10[0:3])
-            d = se3.mul(T_end, se3.inverse((k_q2, k_t2)))
-            return jnp.concatenate([se3.log(d), y10[7:10] - k_v2])
-
-        Dmap = jax.jacrev(res_of_y)(y)
-        cov9 = Dmap @ cov10 @ Dmap.T
-        cov9 = cov9 + jnp.eye(9, dtype=cov9.dtype) * 1e-14
-        # weight = sqrtm(inv(cov9)) via symmetric eigendecomposition
-        evals, evecs = jnp.linalg.eigh(cov9)
-        inv_sqrt = evecs @ jnp.diag(
-            1.0 / jnp.sqrt(jnp.maximum(evals, 1e-18))) @ evecs.T
-        eye = jnp.eye(9, dtype=cov9.dtype) * 500.0
-        return jnp.where(h, inv_sqrt, eye)
-
-    @jax.jit
-    def weight_fn(state: CalibState):
-        return jax.vmap(
-            lambda *a: one(state, *a))(
-            state.q_wk[:-1], state.t_wk[:-1], state.v_w[:-1],
-            state.q_wk[1:], state.t_wk[1:], state.v_w[1:],
-            wt, wg, wa, starts, ends, has)
-
-    return weight_fn
 
 
 def initialize_extrinsic_rotation(state: CalibState,
@@ -215,10 +155,10 @@ def run_staged(state: CalibState, data: ProblemData,
     ``flags`` carries the starting stage configuration (VicalibTask::Start
     maps has_initial_guess here, vicalib-task.cc:227-235).
     """
-    solver = LMSolver(data, options)
-    weight_fn = None
+    sigmas = None
     if data.imu is not None and flags.calibrate_imu:
-        weight_fn = make_imu_weight_fn(data, gyro_sigma, accel_sigma)
+        sigmas = (float(gyro_sigma), float(accel_sigma))
+    solver = LMSolver(data, options, sigmas=sigmas)
 
     dtype = state.t_wk.dtype
     stages_run = []
@@ -250,10 +190,9 @@ def run_staged(state: CalibState, data: ProblemData,
         log.info("=== stage: %s ===", stage_name)
         state, info = solver.solve(
             state, fmask, smask,
-            weight_fn=weight_fn if full_inertial else None,
+            use_cov_weights=full_inertial,
             inertial_scale=1.0 if inertial else 0.0,
-            rotation_only=flags.rotation_only,
-            callback=stats_callback)
+            rotation_only=flags.rotation_only)
         stages_run.append((stage_name, info.iterations, info.cost))
         total_iters += info.iterations
         log.info("stage %s done: cost %.6e rmse %s iters %d", stage_name,
@@ -270,10 +209,7 @@ def run_staged(state: CalibState, data: ProblemData,
             elif do_remove_outliers and not outliers_removed:
                 data = remove_outliers(state, data, info.cam_rmse,
                                        outlier_threshold)
-                solver = LMSolver(data, options)
-                if weight_fn is not None:
-                    weight_fn = make_imu_weight_fn(data, gyro_sigma,
-                                                   accel_sigma)
+                solver = LMSolver(data, options, sigmas=sigmas)
                 outliers_removed = True
             else:
                 break
@@ -281,7 +217,7 @@ def run_staged(state: CalibState, data: ProblemData,
             if do_remove_outliers and not outliers_removed:
                 data = remove_outliers(state, data, info.cam_rmse,
                                        outlier_threshold)
-                solver = LMSolver(data, options)
+                solver = LMSolver(data, options, sigmas=sigmas)
                 outliers_removed = True
             else:
                 break

@@ -1,0 +1,72 @@
+"""IMU residual whitening from covariance propagation (UpdateImuWeights).
+
+Pure function of (state, imu factors, sigmas) — no data closures — so the
+fused solver can recompute it inside its on-device loop
+(reference: vicalibrator.h:690-692, 723-799).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..imu import preintegrate
+from .problem import CalibState
+from .residuals import ImuFactors
+
+# IMU measurement sigmas (types.h:34-35), overridable by flags
+IMU_GYRO_SIGMA = 5.3088444e-5
+IMU_ACCEL_SIGMA = 0.001883649
+
+
+def imu_weights(state: CalibState, imu: ImuFactors,
+                gyro_sigma=IMU_GYRO_SIGMA, accel_sigma=IMU_ACCEL_SIGMA):
+    """(K, 9, 9) whitening weights.
+
+    cov10 = J_g Sigma_g J_g^T + J_a Sigma_a J_a^T with J the autodiff
+    jacobian of the integrated end-state w.r.t. the window's raw samples;
+    transformed through the residual map [log(T_end T_2^-1); v_end - v2];
+    weight = (cov9)^-1/2 via eigendecomposition (vicalibrator.h:747-796).
+    accel_sigma^2 is factored out so the eigensolve sees O(1) entries (raw
+    cov entries ~ sigma^2 ~ 1e-11 underflow the float32 TPU path).
+    """
+    fi = jnp.asarray(imu.frame_i)
+    q1s, t1s, v1s = state.q_wk[fi], state.t_wk[fi], state.v_w[fi]
+    q2s, t2s, v2s = (state.q_wk[fi + 1], state.t_wk[fi + 1],
+                     state.v_w[fi + 1])
+
+    def one(k_q1, k_t1, k_v1, k_q2, k_t2, k_v2, wtk, wgk, wak, s, e, h):
+        def endstate(gyro_vals, accel_vals):
+            return preintegrate.end_state(
+                (k_q1, k_t1), k_v1, wtk, gyro_vals, accel_vals, s, e,
+                state.g_dir, state.biases[:3], state.biases[3:],
+                state.scales, state.time_offset)
+
+        y = endstate(wgk, wak)
+        Jg, Ja = jax.jacrev(endstate, argnums=(0, 1))(wgk, wak)
+        M = wtk.shape[0]
+        Jg = Jg.reshape(10, 3 * M)
+        Ja = Ja.reshape(10, 3 * M)
+        ratio2 = (gyro_sigma / accel_sigma) ** 2
+        cov10 = ratio2 * (Jg @ Jg.T) + (Ja @ Ja.T)
+
+        def res_of_y(y10):
+            T_end = (y10[3:7] / jnp.linalg.norm(y10[3:7]), y10[0:3])
+            d = se3.mul(T_end, se3.inverse((k_q2, k_t2)))
+            return jnp.concatenate([se3.log(d), y10[7:10] - k_v2])
+
+        Dmap = jax.jacrev(res_of_y)(y)
+        M9 = Dmap @ cov10 @ Dmap.T
+        M9 = M9 + jnp.eye(9, dtype=M9.dtype) * 1e-12
+        evals, evecs = jnp.linalg.eigh(M9)
+        inv_sqrt = evecs @ jnp.diag(
+            1.0 / jnp.sqrt(jnp.maximum(evals, 1e-14))) @ evecs.T
+        inv_sqrt = inv_sqrt / accel_sigma
+        eye = jnp.eye(9, dtype=M9.dtype) * 500.0
+        return jnp.where(h, inv_sqrt, eye)
+
+    return jax.vmap(one)(
+        q1s, t1s, v1s, q2s, t2s, v2s,
+        jnp.asarray(imu.win_times), jnp.asarray(imu.win_gyro),
+        jnp.asarray(imu.win_accel), jnp.asarray(imu.start),
+        jnp.asarray(imu.end), jnp.asarray(imu.has_meas))
