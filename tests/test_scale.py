@@ -1,0 +1,89 @@
+"""Config 5 (scaled for CPU CI): multi-camera rig, many frames, sharded
+normal-equation assembly — correctness of the large-problem path.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vicalib_tpu.geometry import so3
+from vicalib_tpu.io import sim
+from vicalib_tpu.solver import StageFlags, frame_mask, run_staged, shared_mask
+from vicalib_tpu.solver.build import problem_from_sim
+from vicalib_tpu.targets import make_target
+
+
+def four_camera_config(n_frames):
+    q_id = np.array([0.0, 0.0, 0.0, 1.0])
+    cams = [sim.SimRigCamera(
+        model="linear",
+        params=np.array([335.6, 336.1, 400.0, 300.0]),
+        T_ck=(q_id, np.zeros(3)))]
+    offsets = [[-0.1, 0.0, 0.0], [0.0, -0.08, 0.0], [-0.1, -0.08, 0.01]]
+    rots = [[0.02, -0.03, 0.01], [-0.02, 0.02, 0.015], [0.01, 0.01, -0.02]]
+    for i in range(3):
+        cams.append(sim.SimRigCamera(
+            model="linear",
+            params=np.array([330.0 + 3 * i, 333.0 + 2 * i, 398.0, 301.0]),
+            T_ck=(np.asarray(so3.exp(jnp.asarray(rots[i]))),
+                  np.array(offsets[i]))))
+    return sim.SimConfig(cameras=cams, target=make_target(),
+                         n_frames=n_frames, pixel_noise=0.05)
+
+
+def test_four_camera_rig_recovery():
+    """4-camera joint intrinsics + extrinsics (config 5's rig shape)."""
+    cfg = four_camera_config(40)
+    data_sim = sim.simulate(cfg)
+    data, state = problem_from_sim(data_sim)
+    result = run_staged(state, data, StageFlags(calibrate_imu=False))
+    from vicalib_tpu.geometry import se3
+
+    for c in range(4):
+        assert result.cam_rmse[c] < 0.1, (c, result.cam_rmse)
+        np.testing.assert_allclose(
+            np.asarray(result.state.intr[c][:4]),
+            cfg.cameras[c].params, atol=0.7)
+        est = (result.state.q_ck[c], result.state.p_ck[c])
+        true_T = (jnp.asarray(cfg.cameras[c].T_ck[0]),
+                  jnp.asarray(cfg.cameras[c].T_ck[1]))
+        err = np.linalg.norm(np.asarray(
+            se3.log(se3.mul(est, se3.inverse(true_T)))))
+        assert err < 3e-3, (c, err)
+
+
+def test_large_frame_count():
+    """1024-frame visual solve exercises the long block-tridiagonal chain."""
+    cfg = sim.default_mono_config(n_frames=1024, model="linear",
+                                  frame_rate=40.0)
+    data_sim = sim.simulate(cfg)
+    data, state = problem_from_sim(data_sim)
+    result = run_staged(state, data, StageFlags(calibrate_imu=False))
+    assert result.cam_rmse[0] < 1e-4
+    np.testing.assert_allclose(np.asarray(result.state.intr[0][:4]),
+                               cfg.cameras[0].params[:4], atol=1e-3)
+
+
+def test_sharded_four_camera_matches_single():
+    """Sharded assembly parity on the multi-camera problem (8 CPU devices)."""
+    from vicalib_tpu.dist import ShardedLMStep, make_mesh
+    from vicalib_tpu.solver.lm import lm_step_jit
+
+    cfg = four_camera_config(16)
+    data_sim = sim.simulate(cfg)
+    data, state = problem_from_sim(data_sim)
+    flags = StageFlags(calibrate_imu=False)
+    fm = frame_mask(flags, data.n_frames)
+    sm = shared_mask(data.layout, flags)
+    lam = jnp.asarray(1e-4)
+    zero = jnp.asarray(0.0)
+    rot = jnp.asarray(False)
+    W = jnp.tile(jnp.eye(9)[None] * 500.0, (data.n_frames - 1, 1, 1))
+
+    s1, _, cost1, trial1, _, _ = lm_step_jit(
+        data, state, lam, W, fm, sm, zero, rot)
+    sh = ShardedLMStep(data, mesh=make_mesh(8))
+    step = sh.make_step()
+    s8, _, cost8, trial8, _ = step(state, lam, sh.sharded_weight(W), fm, sm,
+                                   zero, rot)
+    np.testing.assert_allclose(float(cost1), float(cost8), rtol=1e-12)
+    np.testing.assert_allclose(float(trial1), float(trial8), rtol=1e-8)

@@ -77,6 +77,8 @@ class VicalibConfig:
     dtype: str = "float64"          # solver precision ("float32" on TPU)
     n_shards: int = 0               # 0 = single device
     frame_rate_hint: float = 10.0   # for sources without timestamps
+    compute_covariance: bool = False  # reference: COMPUTE_VICALIB_COVARIANCE
+    checkpoint_file: str = ""       # native mid-solve checkpoint (npz)
 
     def apply_static_preset(self):
         """-use_static_threshold_preset (vicalib-engine.cc:276-291)."""

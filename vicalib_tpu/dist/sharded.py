@@ -208,8 +208,8 @@ class ShardedLMStep:
 
     def sharded_weight(self, weight_sqrt):
         """Reshape (K, 9, 9) weights to the sharded (n, K/n, 9, 9) layout."""
-        if weight_sqrt is None:
-            return None
+        if weight_sqrt is None or not self.has_imu:
+            return weight_sqrt  # replicated (unused without IMU factors)
         K = len(self.base.imu.start)
         per = -(-K // self.n_shards)
         pad = self.n_shards * per - K

@@ -107,7 +107,9 @@ def camera_calibrations_differ(cfg, model_name, last_params, cur_params,
                                last_T, cur_T):
     """Success validation vs a previous calibration
     (CameraCalibrationsDiffer, vicalib-task.cc:714-805)."""
-    diffs = np.abs(np.asarray(last_params) - np.asarray(cur_params))
+    last_params = np.asarray(last_params)
+    cur_params = np.asarray(cur_params)[:len(last_params)]  # strip padding
+    diffs = np.abs(last_params - cur_params)
     lims = [cfg.max_fx_diff, cfg.max_fy_diff, cfg.max_cx_diff,
             cfg.max_cy_diff]
     for i, lim in enumerate(lims):
@@ -296,7 +298,9 @@ class VicalibEngine:
             state, data, flags, options,
             do_remove_outliers=cfg.remove_outliers,
             outlier_threshold=cfg.outlier_threshold,
-            gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma)
+            gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
+            checkpoint_path=cfg.checkpoint_file or None,
+            compute_cov=cfg.compute_covariance)
         state = result.state
 
         # ---- stats + validation (vicalib-task.cc:831-856)
@@ -323,6 +327,33 @@ class VicalibEngine:
         stats.status = (CalibrationStatus.SUCCESS if success
                         else CalibrationStatus.FAILURE)
         self.update_stats(stats.copy())
+
+        # ---- result log (PrintResults analog, vicalibrator.h:536-544,
+        # 1018-1021; -output_log_file)
+        if cfg.output_log_file:
+            with open(cfg.output_log_file, "w") as f:
+                f.write("-" * 42 + "\n")
+                for c in range(C):
+                    f.write(f"Camera: {c} ({model_names[c]})\n")
+                    f.write("params: %s\n" % np.array2string(
+                        stats.cam_intrinsics[c], precision=9))
+                    T = np.eye(4)
+                    T[:3, :3] = quat_np.to_matrix(stats.t_ck_vec[c][0])
+                    T[:3, 3] = stats.t_ck_vec[c][1]
+                    f.write("T_ck:\n%s\n" % np.array2string(T, precision=9))
+                    f.write(f"rmse: {stats.reprojection_error[c]:.6f} px\n")
+                f.write("bw_ba= %s\n" % np.asarray(state.biases))
+                f.write("sfw_sfa= %s\n" % np.asarray(state.scales))
+                f.write("G= %s\n" % np.asarray(state.g_dir))
+                f.write("ts= %s\n" % float(state.time_offset))
+                f.write("mse= %s  iterations= %d\n" %
+                        (stats.total_mse, stats.num_iterations))
+                for row in result.stages_run:
+                    f.write("stage %s: iters=%d cost=%.6e wall=%.2fs\n" %
+                            tuple(row))
+                if result.covariance is not None:
+                    f.write("shared-parameter covariance:\n%s\n" %
+                            np.array2string(result.covariance, precision=4))
 
         # ---- outputs (vicalib-engine.cc:355-373, 406-422)
         out_io.write_cameras_xml(

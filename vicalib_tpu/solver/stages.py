@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import time
 
 import jax
 import jax.numpy as jnp
@@ -42,10 +43,11 @@ from .weights import IMU_ACCEL_SIGMA, IMU_GYRO_SIGMA  # noqa: F401 (re-export)
 class StagedResult:
     state: CalibState
     info: LMInfo
-    stages_run: list
+    stages_run: list               # (name, iters, cost, wall_s) per stage
     mse: float
     cam_rmse: np.ndarray
     total_iterations: int
+    covariance: np.ndarray = None  # (S, S) shared-parameter covariance
 
 
 def initialize_extrinsic_rotation(state: CalibState,
@@ -149,7 +151,8 @@ def run_staged(state: CalibState, data: ProblemData,
                flags: StageFlags, options: LMOptions = LMOptions(),
                do_remove_outliers: bool = False, outlier_threshold: float = 2.0,
                gyro_sigma=IMU_GYRO_SIGMA, accel_sigma=IMU_ACCEL_SIGMA,
-               stats_callback=None) -> StagedResult:
+               stats_callback=None, checkpoint_path: str = None,
+               compute_cov: bool = False) -> StagedResult:
     """Run the full staged schedule to completion.
 
     ``flags`` carries the starting stage configuration (VicalibTask::Start
@@ -188,15 +191,23 @@ def run_staged(state: CalibState, data: ProblemData,
             "inertial-rotation" if flags.rotation_only else
             "inertial-full%s" % ("+scale" if flags.scale_active else ""))
         log.info("=== stage: %s ===", stage_name)
+        t_stage = time.time()
         state, info = solver.solve(
             state, fmask, smask,
             use_cov_weights=full_inertial,
             inertial_scale=1.0 if inertial else 0.0,
             rotation_only=flags.rotation_only)
-        stages_run.append((stage_name, info.iterations, info.cost))
+        wall = time.time() - t_stage
+        stages_run.append((stage_name, info.iterations, info.cost, wall))
         total_iters += info.iterations
-        log.info("stage %s done: cost %.6e rmse %s iters %d", stage_name,
-                 info.cost, info.cam_rmse, info.iterations)
+        log.info("stage %s done: cost %.6e rmse %s iters %d wall %.2fs",
+                 stage_name, info.cost, info.cam_rmse, info.iterations, wall)
+        if checkpoint_path:
+            from ..checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path, state, flags,
+                            meta={"stage": stage_name,
+                                  "cost": float(info.cost),
+                                  "iterations": int(info.iterations)})
 
         # stage advance (vicalibrator.h:976-1031)
         if flags.calibrate_imu:
@@ -223,6 +234,49 @@ def run_staged(state: CalibState, data: ProblemData,
                 break
 
     mse = info.cost / max(info.n_residuals, 1)
+    covariance = None
+    if compute_cov:
+        covariance = shared_covariance(state, data, flags, gyro_sigma,
+                                       accel_sigma)
     return StagedResult(state=state, info=info, stages_run=stages_run,
                         mse=mse, cam_rmse=info.cam_rmse,
-                        total_iterations=total_iters)
+                        total_iterations=total_iters, covariance=covariance)
+
+
+def shared_covariance(state: CalibState, data: ProblemData,
+                      flags: StageFlags, gyro_sigma=IMU_GYRO_SIGMA,
+                      accel_sigma=IMU_ACCEL_SIGMA):
+    """Marginal covariance of the shared parameters at the solution.
+
+    Reference analog: GetSolutionCovariance (vicalibrator.h:802-857, opt-in
+    via COMPUTE_VICALIB_COVARIANCE).  With frames Schur-eliminated, the
+    marginal covariance of the shared block is exactly the inverse of the
+    reduced system S_red = C - B^T A^-1 B evaluated undamped at the solution;
+    inactive tangent entries carry identity rows/cols.
+    """
+    from .assemble import assemble
+    from .schur import tridiag_solve
+    from .weights import imu_weights
+
+    dtype = state.t_wk.dtype
+    fmask = frame_mask(flags, data.n_frames, dtype)
+    smask = shared_mask(data.layout, flags, dtype)
+    inertial = flags.calibrate_imu and flags.inertial_active
+    if data.imu is not None:
+        if inertial and not flags.rotation_only:
+            W = imu_weights(state, data.imu, gyro_sigma, accel_sigma)
+        else:
+            K = len(data.imu.start)
+            W = jnp.tile(jnp.eye(9, dtype=dtype)[None] * 500.0, (K, 1, 1))
+    else:
+        W = jnp.zeros((1, 9, 9), dtype)
+    D, U, Hfs, Hss, gf, gs, _, _ = assemble(
+        state, data, W, fmask, smask,
+        jnp.asarray(1.0 if inertial else 0.0, dtype),
+        jnp.asarray(flags.rotation_only))
+    S = Hss.shape[0]
+    eye = jnp.eye(D.shape[1], dtype=dtype)
+    D = D + 1e-12 * eye[None]
+    X = tridiag_solve(D, U, Hfs)
+    S_red = Hss - jnp.einsum("fis,fit->st", Hfs, X)
+    return np.asarray(jnp.linalg.inv(S_red + 1e-12 * jnp.eye(S, dtype=dtype)))
