@@ -51,6 +51,7 @@ class VicalibConfig:
     outlier_threshold: float = 2.0
 
     # --- outputs (vicalib-engine.cc:40, 51, 56-64)
+    clip_good: bool = False               # vicalib-task.cc:19, 283-296
     save_poses: bool = False
     print_poses: bool = False
     output: str = "cameras.xml"

@@ -62,58 +62,55 @@ def label_components(mask, n_iters=64):
     return jnp.where(mask, labels, 0)
 
 
-def extract_conics(mask, labels, params: ConicParams = ConicParams(),
-                   img=None):
-    """Blob moments -> ellipse centers/axes with Calibu's filters.
+def compact_labels(labels, K):
+    """Raw min-flat-index labels -> compact ids in [0, K], rank-ordered.
 
-    When ``img`` is given, centroids use darkness-weighted moments
-    ((255 - I) within the component) — sub-pixel accuracy on anti-aliased
-    dots far beyond binary centroids.  Shape filters still use the binary
-    moments.
-
-    Returns dict of (K,) arrays: center (K, 2) [x, y], radius (K,),
-    area (K,), valid (K,) — fixed K = params.max_conics.
-    """
-    H, W = mask.shape
-    K = params.max_conics
+    Slot 0 is background (label 0).  The fill must be LARGER than any real
+    label so the padded unique array stays sorted (searchsorted depends on
+    it).  The Pallas kernel computes the identical mapping in-kernel with
+    no sort/gather (pallas_kernels._detect_kernel phase 2)."""
     flat = labels.reshape(-1)
-    # compact label ids: unique with static size.  The fill must be LARGER
-    # than any real label so the padded array stays sorted (searchsorted
-    # depends on it); bin 0 is the background label 0.
     sentinel = jnp.iinfo(jnp.int32).max
     uniq = jnp.unique(flat, size=K + 1, fill_value=sentinel)
-    comp = jnp.searchsorted(uniq, flat)                    # (H*W,) in [0, K]
-    # background (label 0) maps to bin 0 since uniq[0] == 0 when any bg exists
+    return jnp.searchsorted(uniq, flat).astype(jnp.int32).reshape(
+        labels.shape)
+
+
+def moments_from_compact(comp, img, params: ConicParams):
+    """Blob moments -> ellipse centers/axes with Calibu's filters, from
+    compact component ids (0 = background).
+
+    Centroids use darkness-weighted moments ((255 - I) within the
+    component) — sub-pixel accuracy on anti-aliased dots far beyond binary
+    centroids.  Shape filters use the binary moments.
+
+    One stacked segment_sum carries all 9 moment columns (separate calls
+    cost ~9 scatter passes on TPU).
+    """
+    H, W = comp.shape
+    K = params.max_conics
+    flat = comp.reshape(-1)
     ys = (jnp.arange(H * W, dtype=jnp.float32) // W)
     xs = (jnp.arange(H * W, dtype=jnp.float32) % W)
     fg = (flat > 0).astype(jnp.float32)
+    w = fg * (255.0 - img.astype(jnp.float32).reshape(-1))
+    vals = jnp.stack([fg, fg * xs, fg * ys, fg * xs * xs, fg * ys * ys,
+                      fg * xs * ys, w, w * xs, w * ys], axis=-1)
+    M = jax.ops.segment_sum(vals, flat, num_segments=K + 1)
+    m00, m10, m01, m20, m02, m11, w00, wx, wy = [M[:, i] for i in range(9)]
 
-    def seg(v):
-        return jax.ops.segment_sum(v, comp, num_segments=K + 1)
-
-    m00 = seg(fg)
-    m10 = seg(fg * xs)
-    m01 = seg(fg * ys)
-    m20 = seg(fg * xs * xs)
-    m02 = seg(fg * ys * ys)
-    m11 = seg(fg * xs * ys)
-
-    is_bg = uniq == 0
     area = m00
     denom = jnp.maximum(area, 1.0)
     cx = m10 / denom
     cy = m01 / denom
-
     # central second moments around the *binary* centroid (shape filters)
     mu20 = m20 / denom - cx * cx
     mu02 = m02 / denom - cy * cy
     mu11 = m11 / denom - cx * cy
-    if img is not None:
-        # darkness-weighted centroid for the reported center (sub-pixel)
-        w = fg * (255.0 - img.astype(jnp.float32).reshape(-1))
-        w00 = jnp.maximum(seg(w), 1e-6)
-        cx = seg(w * xs) / w00
-        cy = seg(w * ys) / w00
+    # darkness-weighted centroid for the reported center (sub-pixel)
+    w00 = jnp.maximum(w00, 1e-6)
+    cx = wx / w00
+    cy = wy / w00
     # ellipse semi-axes from eigenvalues of the covariance (a = 2 sqrt(l))
     tr = mu20 + mu02
     det = mu20 * mu02 - mu11 * mu11
@@ -125,12 +122,12 @@ def extract_conics(mask, labels, params: ConicParams = ConicParams(),
     aspect = b / jnp.maximum(a, 1e-6)
     density = area / jnp.maximum(jnp.pi * a * b, 1e-6)
 
-    valid = ((~is_bg) & (area >= params.min_area)
+    valid = ((area >= params.min_area)
              & (aspect >= params.min_aspect)
              & (density >= params.min_density))
     center = jnp.stack([cx, cy], axis=1)
     radius = jnp.sqrt(jnp.maximum(area, 0.0) / jnp.pi)
-    # drop the background bin (index where uniq==0); keep K slots
+    # drop the background bin; keep K slots
     return {
         "center": center[1:K + 1],
         "radius": radius[1:K + 1],
@@ -139,13 +136,94 @@ def extract_conics(mask, labels, params: ConicParams = ConicParams(),
     }
 
 
+def extract_conics(mask, labels, params: ConicParams = ConicParams(),
+                   img=None):
+    """Blob moments from raw min-index labels (portable path).
+
+    Returns dict of (K,) arrays: center (K, 2) [x, y], radius (K,),
+    area (K,), valid (K,) — fixed K = params.max_conics.
+    """
+    if img is None:
+        img = jnp.zeros_like(labels, dtype=jnp.float32)
+    comp = compact_labels(labels, params.max_conics)
+    return moments_from_compact(comp, img, params)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def find_conics(img, params: ConicParams = ConicParams(),
                 at_threshold=0.9, at_window_ratio=30.0):
     """Full per-frame pipeline: threshold -> CC -> conics.  Jittable; vmap
-    over frames for batching."""
+    over frames for batching (pure-XLA path)."""
     from .image_proc import adaptive_threshold
 
     mask = adaptive_threshold(img, at_threshold, at_window_ratio)
     labels = label_components(mask, params.cc_iters)
     return extract_conics(mask, labels, params, img=img)
+
+
+def _pad_to_tiles(imgs):
+    """Edge-pad (B, H, W) on the bottom/right to TPU tile multiples
+    (H -> x8, W -> x128); returns (padded, H, W)."""
+    B, H, W = imgs.shape
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    if (Hp, Wp) != (H, W):
+        imgs = jnp.pad(imgs, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+    return imgs, H, W
+
+
+def find_conics_batch(imgs, params: ConicParams = ConicParams(),
+                      at_threshold=0.9, at_window_ratio=30.0,
+                      backend="auto"):
+    """Batched pipeline over (B, H, W) frames.
+
+    ``backend``: "pallas" uses the fused VMEM-resident threshold+label kernel
+    (detect/pallas_kernels.py — 2 HBM frame transfers instead of ~130),
+    "xla" the portable path, "auto" picks pallas on TPU.  Detections in the
+    bottom/right tile-padding are discarded.
+    """
+    from .pallas_kernels import fits_vmem, threshold_and_label
+
+    imgs = jnp.asarray(imgs, jnp.float32)
+    B, H0, W0 = imgs.shape
+    radius = max(int(W0 / at_window_ratio / 2), 1)
+    padded, H, W = _pad_to_tiles(imgs)
+    if backend == "auto":
+        Hp, Wp = padded.shape[1:]
+        backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                   and fits_vmem(Hp, Wp) else "xla")
+
+    if backend == "pallas":
+        # the kernel emits compact component ids directly (no sort/gather)
+        _, comp = threshold_and_label(
+            padded, radius, at_threshold, n_iters=params.cc_iters,
+            max_labels=params.max_conics,
+            interpret=jax.devices()[0].platform != "tpu")
+    else:
+        comp = _compact_labels_xla(padded, params, at_threshold, radius)
+    return _extract_batch(comp, padded, H, W, params)
+
+
+@partial(jax.jit, static_argnames=("params", "at_threshold", "radius"))
+def _compact_labels_xla(padded, params, at_threshold, radius):
+    from .image_proc import adaptive_threshold
+
+    def one(im):
+        m = adaptive_threshold(im, at_threshold, radius=radius)
+        return compact_labels(label_components(m, params.cc_iters),
+                              params.max_conics)
+
+    return jax.vmap(one)(padded)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "params"))
+def _extract_batch(comp, padded, H, W, params):
+    """Drop tile-padding detections (post-compaction, so slot numbering is
+    backend-independent), then batched blob moments."""
+    Hp, Wp = padded.shape[1:]
+    iy = jnp.arange(Hp)[:, None]
+    ix = jnp.arange(Wp)[None, :]
+    inb = (iy < H) & (ix < W)
+    comp = jnp.where(inb[None], comp, 0)
+    return jax.vmap(
+        lambda c, im: moments_from_compact(c, im, params))(comp, padded)

@@ -32,7 +32,7 @@ def box_mean(img, radius):
 
 
 def adaptive_threshold(img, at_threshold=0.9, at_window_ratio=30.0,
-                       black_on_white=True):
+                       black_on_white=True, radius=None):
     """Binary foreground mask of dark dots on light background.
 
     Foreground iff pixel < local_mean * at_threshold (black_on_white), the
@@ -40,7 +40,8 @@ def adaptive_threshold(img, at_threshold=0.9, at_window_ratio=30.0,
     Returns (H, W) bool.
     """
     H, W = img.shape
-    radius = max(int(W / at_window_ratio / 2), 1)
+    if radius is None:
+        radius = max(int(W / at_window_ratio / 2), 1)
     mean = box_mean(img, radius)
     imgf = img.astype(jnp.float32)
     if black_on_white:

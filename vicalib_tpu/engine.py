@@ -45,21 +45,20 @@ def _detect_all(images, target, cfg, max_conics=512):
     import jax
     import jax.numpy as jnp
 
-    from .detect.conics import ConicParams, find_conics
+    from .detect.conics import ConicParams, find_conics_batch
 
     F = len(images)
     P = target.n_points
     params = ConicParams(max_conics=max_conics)
 
-    batched = jax.jit(jax.vmap(
-        lambda im: find_conics(im, params)))
-    # chunk frames to bound memory
+    # chunk frames to bound memory; the fused Pallas threshold+label kernel
+    # runs on TPU, the portable XLA path elsewhere (backend="auto")
     chunk = 32
     outs = []
     imgs = jnp.asarray(np.stack(images), jnp.float32)
     for i in range(0, F, chunk):
         outs.append(jax.tree_util.tree_map(
-            np.asarray, batched(imgs[i:i + chunk])))
+            np.asarray, find_conics_batch(imgs[i:i + chunk], params)))
     det = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
     pixels = np.zeros((F, P, 2))
@@ -250,6 +249,18 @@ class VicalibEngine:
         visible = np.stack(visible)
         if cfg.output_conics:
             out_io.write_conics_csv("conics.csv", conic_rows_all)
+        if cfg.clip_good:
+            # -clip_good: log frames where every stream tracked
+            # (vicalib-task.cc:283-296; hal::Logger proto -> native npz clip)
+            good = visible.any(axis=2).all(axis=0)
+            np.savez_compressed(
+                "good_frames.npz",
+                timestamps=np.asarray(sel_times)[good],
+                frame_indices=np.asarray(sel_indices)[good],
+                **{f"cam{c}": np.stack(sel_images[c])[good]
+                   for c in range(C)})
+            log.info("clip_good: wrote %d/%d frames to good_frames.npz",
+                     int(good.sum()), F)
 
         # ---- problem assembly + staged solve
         stats.status = CalibrationStatus.OPTIMIZING
