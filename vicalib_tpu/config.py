@@ -29,6 +29,8 @@ class VicalibConfig:
     output_pattern_file: str = ""
 
     # --- capture control (vicalib-engine.cc:43, 58, 67-78)
+    paused: bool = False                  # vicalib-engine.cc (GUI pause)
+    scaled_ir_depth_cal: bool = False     # declared in reference, unused
     frame_skip: int = 0
     num_vicalib_frames: int = -1
     static_accel_threshold: float = 0.08

@@ -157,9 +157,143 @@ class ImuSource:
             self.times[:n], self.accel[:n], self.gyro[:n])
 
 
+class DeinterlaceSource:
+    """``deinterlace://<inner>``: split each interlaced frame's even/odd
+    scanlines into a 2-channel rig (HAL deinterlace driver, README.md:34-42).
+    """
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.n_frames = inner.n_frames
+        self.frame_rate = getattr(inner, "frame_rate", 10.0)
+
+    @property
+    def num_channels(self):
+        return 2 * self.inner.num_channels
+
+    def timestamp(self, k):
+        return self.inner.timestamp(k)
+
+    @staticmethod
+    def _split(img):
+        return img[0::2], img[1::2]
+
+    def frame(self, k):
+        t, imgs = self.inner.frame(k)
+        out = []
+        for im in imgs:
+            even, odd = self._split(im)
+            out.extend([even, odd])
+        return t, out
+
+    def read_batch(self, channel, indices):
+        inner_c, field = divmod(channel, 2)
+        batch = self.inner.read_batch(inner_c, indices)
+        return [im[field::2] for im in batch]
+
+    def __iter__(self):
+        for k in range(self.n_frames):
+            yield self.frame(k)
+
+
+class RectifySource:
+    """``rectify:[file=cameras.xml]//<inner>``: undistort every channel to
+    its linear (pinhole-K) model via a precomputed bilinear remap
+    (HAL rectify driver, README.md:34-42).
+
+    The remap lookup table is built once per channel from the rig file's
+    camera model (unproject through K, project through the distorted model);
+    application is a batched gather — vmapped on device.
+    """
+
+    def __init__(self, inner, rig_file: str):
+        from ..cameras.models import get_model
+        from .outputs import read_cameras_xml
+
+        self.inner = inner
+        self.n_frames = inner.n_frames
+        self.frame_rate = getattr(inner, "frame_rate", 10.0)
+        cams = read_cameras_xml(rig_file)
+        if len(cams) < inner.num_channels:
+            raise ValueError(
+                f"rig file {rig_file} has {len(cams)} cameras; "
+                f"source has {inner.num_channels} channels")
+        self._maps = []
+        for c in range(inner.num_channels):
+            cam = cams[c]
+            model = get_model(cam["model"])
+            params = np.asarray(cam["params"], dtype=np.float64)
+            h, w = int(cam["height"]), int(cam["width"])
+            fu, fv, u0, v0 = params[0], params[1], params[2], params[3]
+            # output pixel -> ideal ray through pinhole K -> distorted pixel
+            u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                               np.arange(h, dtype=np.float64))
+            rays = np.stack([(u - u0) / fu, (v - v0) / fv,
+                             np.ones_like(u)], axis=-1)
+            import jax.numpy as jnp
+            src = np.asarray(model.project(
+                jnp.asarray(rays.reshape(-1, 3)),
+                jnp.asarray(params))).reshape(h, w, 2)
+            self._maps.append(src.astype(np.float32))
+
+    @property
+    def num_channels(self):
+        return self.inner.num_channels
+
+    def timestamp(self, k):
+        return self.inner.timestamp(k)
+
+    @staticmethod
+    def _remap(img, src):
+        h, w = img.shape[:2]
+        x = np.clip(src[..., 0], 0, w - 1.001)
+        y = np.clip(src[..., 1], 0, h - 1.001)
+        x0 = x.astype(np.int32)
+        y0 = y.astype(np.int32)
+        fx = x - x0
+        fy = y - y0
+        im = img.astype(np.float32)
+        top = im[y0, x0] * (1 - fx) + im[y0, x0 + 1] * fx
+        bot = im[y0 + 1, x0] * (1 - fx) + im[y0 + 1, x0 + 1] * fx
+        return (top * (1 - fy) + bot * fy).astype(img.dtype)
+
+    def frame(self, k):
+        t, imgs = self.inner.frame(k)
+        return t, [self._remap(im, self._maps[c])
+                   for c, im in enumerate(imgs)]
+
+    def read_batch(self, channel, indices):
+        batch = self.inner.read_batch(channel, indices)
+        return [self._remap(im, self._maps[channel]) for im in batch]
+
+    def __iter__(self):
+        for k in range(self.n_frames):
+            yield self.frame(k)
+
+
 def parse_camera_uri(uri: str) -> CameraSource:
-    """Accepts ``file://<glob>``, ``file://[g0,g1]`` or a bare glob."""
-    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    """HAL-style camera URIs (README.md:34-42): ``file://<glob>`` /
+    ``file://[g0,g1]`` / bare glob, optionally wrapped by
+    ``deinterlace://...`` and ``rectify:[file=cameras.xml]//...``.
+    ``uvc://`` (live USB capture) has no replay equivalent here."""
+    m = re.match(r"^(\w+):(\[[^\]]*\])?//(.*)$", uri)
+    scheme = m.group(1).lower() if m else "file"
+    opts = {}
+    if m and m.group(2):
+        for kv in m.group(2).strip("[]").split(","):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                opts[k.strip()] = v.strip()
+    if scheme == "uvc":
+        raise ValueError(
+            "uvc:// live capture is not supported in replay mode; "
+            "record to files and use file://")
+    if scheme == "deinterlace":
+        return DeinterlaceSource(parse_camera_uri(m.group(3)))
+    if scheme == "rectify":
+        rig = opts.get("file", "cameras.xml")
+        return RectifySource(parse_camera_uri(m.group(3)), rig)
+    path = m.group(3) if m else uri
     if path.startswith("["):
         globs = [g.strip() for g in path.strip("[]").split(",")]
     else:
