@@ -73,3 +73,23 @@ def test_sharded_visual_only(vi_problem):
                                    fmask, smask, zero, rot)
     np.testing.assert_allclose(float(cost1), float(cost4), rtol=1e-12)
     np.testing.assert_allclose(float(trial1), float(trial4), rtol=1e-8)
+
+
+def test_fused_sharded_staged_solve_matches_single(vi_problem):
+    """The fused staged solver with mesh-sharded problem arrays (SPMD via
+    jit's partitioner) must reproduce the single-device staged result."""
+    from vicalib_tpu.solver import run_staged
+
+    data, state = vi_problem
+    flags = StageFlags(calibrate_imu=True, optimize_time_offset=True)
+
+    r1 = run_staged(state, data, flags)
+    r8 = run_staged(state, data, flags, mesh=make_mesh(8))
+
+    np.testing.assert_allclose(r8.cam_rmse, r1.cam_rmse, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r8.state.q_ck),
+                               np.asarray(r1.state.q_ck), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r8.state.biases),
+                               np.asarray(r1.state.biases), atol=1e-5)
+    np.testing.assert_allclose(float(r8.state.time_offset),
+                               float(r1.state.time_offset), atol=1e-6)

@@ -1,2 +1,3 @@
 from .mesh import SHARD_AXIS, make_mesh, pad_to_multiple  # noqa: F401
-from .sharded import ShardedLMStep, shard_problem  # noqa: F401
+from .sharded import (ShardedLMStep, shard_problem,  # noqa: F401
+                      shard_problem_arrays)

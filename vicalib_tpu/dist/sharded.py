@@ -28,6 +28,41 @@ from ..solver.schur import schur_solve
 from .mesh import SHARD_AXIS, make_mesh, pad_to_multiple
 
 
+def shard_problem_arrays(data: ProblemData, mesh) -> ProblemData:
+    """Lay out a ProblemData for SPMD execution of the *fused* staged solver.
+
+    The per-observation and per-IMU-factor arrays (the heavy, embarrassingly
+    parallel axes) are padded to a device-count multiple and placed with
+    ``NamedSharding(P(SHARD_AXIS))`` on their leading axis; the solver code is
+    unchanged — jit's SPMD partitioner shards the residual/Jacobian math and
+    inserts the cross-device reductions for the ``segment_sum``/``einsum``
+    contractions that the explicit ``ShardedLMStep`` path issues as psums.
+    Padded observation rows carry valid=0; padded IMU factors has_meas=False
+    (both produce exactly zero residuals and Jacobians).
+    """
+    import jax
+
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P(SHARD_AXIS))
+
+    def put(a, pad_spec):
+        return jax.device_put(pad_to_multiple(np.asarray(a), n), sh)
+
+    obs = [CameraObs(frame_idx=put(o.frame_idx, n),
+                     p_w=put(o.p_w, n), p_c=put(o.p_c, n),
+                     valid=put(o.valid, n)) for o in data.obs]
+    imu = None
+    if data.imu is not None:
+        im = data.imu
+        imu = ImuFactors(
+            win_times=put(im.win_times, n), win_gyro=put(im.win_gyro, n),
+            win_accel=put(im.win_accel, n), start=put(im.start, n),
+            end=put(im.end, n), has_meas=put(im.has_meas, n),
+            frame_i=put(im.frame_i, n))
+    return ProblemData(obs=obs, imu=imu, layout=data.layout,
+                       n_frames=data.n_frames)
+
+
 def shard_problem(data: ProblemData, n_shards: int) -> list[ProblemData]:
     """Split observations and IMU factors into n contiguous shards.
 
@@ -190,7 +225,7 @@ class ShardedLMStep:
             D, U, Hfs, Hss, gf, gs, cost = assemble_sharded(
                 state, weight_sqrt, fmask, smask, inertial_scale,
                 rotation_only, data_tree)
-            dxf, dxs = schur_solve(D, U, Hfs, Hss, gf, gs, damping=lam)
+            dxf, dxs, _ = schur_solve(D, U, Hfs, Hss, gf, gs, damping=lam)
             dxf = dxf * fmask
             dxs = dxs * smask
             trial = retract(state, layout, dxf, dxs)

@@ -305,13 +305,17 @@ class VicalibEngine:
             fix_intrinsics=not cfg.calibrate_intrinsics)
         options = LMOptions(max_iters=cfg.max_iters,
                             function_tolerance=cfg.function_tolerance)
+        mesh = None
+        if cfg.n_shards > 1:
+            from .dist import make_mesh
+            mesh = make_mesh(cfg.n_shards)
         result = run_staged(
             state, data, flags, options,
             do_remove_outliers=cfg.remove_outliers,
             outlier_threshold=cfg.outlier_threshold,
             gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
             checkpoint_path=cfg.checkpoint_file or None,
-            compute_cov=cfg.compute_covariance)
+            compute_cov=cfg.compute_covariance, mesh=mesh)
         state = result.state
 
         # ---- stats + validation (vicalib-task.cc:831-856)

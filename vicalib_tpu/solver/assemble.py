@@ -135,7 +135,8 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
     if data.imu is not None:
         r, J1, J2, Jsh = imu_residuals_and_jacobians(
             state, data.imu, weight_sqrt, rotation_only)
-        n_res = n_res + len(data.imu.start)
+        n_res = n_res + jnp.sum(jnp.asarray(data.imu.has_meas,
+                                            dtype=n_res.dtype))
         fi = jnp.asarray(data.imu.frame_i)
         r = r * inertial_scale
         J1 = J1 * inertial_scale

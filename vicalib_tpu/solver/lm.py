@@ -44,6 +44,12 @@ class LMOptions:
     lam_down: float = 3.0
     lam_min: float = 1e-12
     lam_max: float = 1e10
+    # IMU covariance-whitening refresh cadence (iterations).  The reference
+    # recomputes the weights every Ceres iteration (vicalibrator.h:690-692);
+    # they vary slowly with the state, so refreshing every few iterations is
+    # numerically indistinguishable at convergence and saves the propagation
+    # cost.  Set 1 for exact per-iteration reference semantics.
+    weight_refresh: int = 4
 
 
 @dataclasses.dataclass
@@ -56,35 +62,53 @@ class LMInfo:
     n_residuals: int
 
 
-def _lm_step(data, state, lam, weight_sqrt, fmask, smask, inertial_scale,
+def _lm_step(data, state, lam, nu, weight_sqrt, fmask, smask, inertial_scale,
              rotation_only, options: LMOptions):
+    """One damped step with Nielsen gain-ratio lambda adaptation.
+
+    rho = actual / predicted cost reduction; accepted steps shrink lambda by
+    max(1/3, 1 - (2 rho - 1)^3), rejected steps grow it by the doubling
+    factor nu — far fewer iterations than fixed up/down factors (this is the
+    trust-region-quality policy Ceres's DOGLEG gets internally)."""
+    dtype = state.t_wk.dtype
     D, U, Hfs, Hss, gf, gs, cost, _ = assemble(
         state, data, weight_sqrt, fmask, smask, inertial_scale,
         rotation_only)
-    dxf, dxs = schur_solve(D, U, Hfs, Hss, gf, gs, damping=lam)
+    dxf, dxs, pred_red = schur_solve(D, U, Hfs, Hss, gf, gs, damping=lam)
     dxf = dxf * fmask
     dxs = dxs * smask
     trial = retract(state, data.layout, dxf, dxs)
     trial_cost, _, _ = robust_costs(
         trial, data, weight_sqrt, inertial_scale, rotation_only)
-    accept = trial_cost < cost
+    rho = (cost - trial_cost) / jnp.maximum(pred_red, 1e-20)
+    accept = (trial_cost < cost) & (pred_red > 0)
     new_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accept, a, b), trial, state)
-    new_lam = jnp.where(
-        accept,
-        jnp.maximum(lam / options.lam_down, options.lam_min),
-        jnp.minimum(lam * options.lam_up, options.lam_max))
+    shrink = jnp.maximum(jnp.asarray(1.0 / 3.0, dtype),
+                         1.0 - (2.0 * rho - 1.0) ** 3)
+    new_lam = jnp.where(accept, lam * shrink, lam * nu)
+    new_lam = jnp.clip(new_lam, options.lam_min, options.lam_max)
+    new_nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
     gnorm = jnp.sqrt(jnp.sum(gf * gf) + jnp.sum(gs * gs))
-    return new_state, new_lam, cost, trial_cost, accept, gnorm
+    return new_state, new_lam, new_nu, cost, trial_cost, accept, gnorm
 
 
-def _get_weights(data, state, seed_weight, use_cov_weights, sigmas):
+def _get_weights(data, state, seed_weight, use_cov_weights, sigmas,
+                 carry_weight=None, refresh=None):
+    """Whitening weights for this iteration.
+
+    When ``carry_weight`` is given, the covariance propagation only runs on
+    refresh iterations (``refresh`` is a traced bool); otherwise the carried
+    weights are reused.
+    """
     if data.imu is None or sigmas is None:
         return seed_weight
+    fallback = seed_weight if carry_weight is None else carry_weight
+    pred = use_cov_weights if refresh is None else (use_cov_weights & refresh)
     return jax.lax.cond(
-        use_cov_weights,
+        pred,
         lambda s: imu_weights(s, data.imu, sigmas[0], sigmas[1]),
-        lambda s: seed_weight, state)
+        lambda s: fallback, state)
 
 
 @partial(jax.jit, static_argnames=("options", "sigmas"))
@@ -100,27 +124,30 @@ def fused_solve(data: ProblemData, state: CalibState, fmask, smask,
         lam0 = jnp.asarray(options.lam0, dtype)
 
         def cond(carry):
-            _, _, _, it, done = carry
+            _, _, _, _, _, it, done = carry
             return (~done) & (it < options.max_iters)
 
         def body(carry):
-            state, lam, _, it, done = carry
+            state, lam, nu, W_prev, _, it, done = carry
+            refresh = (it % options.weight_refresh) == 0
             W = _get_weights(data, state, seed_weight, use_cov_weights,
-                             sigmas)
-            new_state, new_lam, cost, trial_cost, accept, gnorm = _lm_step(
-                data, state, lam, W, fmask, smask, inertial_scale,
+                             sigmas, carry_weight=W_prev, refresh=refresh)
+            (new_state, new_lam, new_nu, cost, trial_cost, accept,
+             gnorm) = _lm_step(
+                data, state, lam, nu, W, fmask, smask, inertial_scale,
                 rotation_only, options)
             converged = (accept
                          & ((cost - trial_cost)
                             < options.function_tolerance * cost))
             converged |= (gnorm > 0) & (gnorm < options.gradient_tolerance)
             converged |= lam >= options.lam_max
-            return (new_state, new_lam,
+            return (new_state, new_lam, new_nu, W,
                     jnp.where(accept, trial_cost, cost), it + 1, converged)
 
-        init = (state, lam0, jnp.asarray(jnp.inf, dtype), 0,
-                jnp.asarray(False))
-        state, lam, cost, it, done = jax.lax.while_loop(cond, body, init)
+        init = (state, lam0, jnp.asarray(2.0, dtype), seed_weight,
+                jnp.asarray(jnp.inf, dtype), 0, jnp.asarray(False))
+        (state, lam, nu, _, cost, it,
+         done) = jax.lax.while_loop(cond, body, init)
         W = _get_weights(data, state, seed_weight, use_cov_weights, sigmas)
         final_cost, cam_sq, cam_cnt = robust_costs(
             state, data, W, inertial_scale, rotation_only)
@@ -132,8 +159,11 @@ def lm_step_jit(data, state, lam, weight_sqrt, fmask, smask, inertial_scale,
                 rotation_only, options: LMOptions = LMOptions()):
     """One LM step (module-level jit; used by the driver entry point)."""
     with jax.default_matmul_precision("highest"):
-        return _lm_step(data, state, lam, weight_sqrt, fmask, smask,
-                        inertial_scale, rotation_only, options)
+        nu = jnp.asarray(2.0, state.t_wk.dtype)
+        (new_state, new_lam, _, cost, trial_cost, accept,
+         gnorm) = _lm_step(data, state, lam, nu, weight_sqrt, fmask, smask,
+                           inertial_scale, rotation_only, options)
+        return new_state, new_lam, cost, trial_cost, accept, gnorm
 
 
 def _device_problem(data: ProblemData) -> ProblemData:
@@ -142,11 +172,21 @@ def _device_problem(data: ProblemData) -> ProblemData:
 
 
 class LMSolver:
-    """Thin wrapper binding a ProblemData to the module-level fused solve."""
+    """Thin wrapper binding a ProblemData to the module-level fused solve.
+
+    With ``mesh`` given, the observation/IMU-factor arrays are sharded over
+    the device mesh (dist.shard_problem_arrays) and the same fused program
+    runs SPMD — XLA partitions the batched residual/Jacobian math and
+    reduces the assembled normal equations across devices.
+    """
 
     def __init__(self, data: ProblemData, options: LMOptions = LMOptions(),
-                 sigmas=None):
-        self.data = _device_problem(data)
+                 sigmas=None, mesh=None):
+        if mesh is not None:
+            from ..dist.sharded import shard_problem_arrays
+            self.data = shard_problem_arrays(data, mesh)
+        else:
+            self.data = _device_problem(data)
         self.options = options
         self.sigmas = sigmas
 

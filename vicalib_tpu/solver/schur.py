@@ -24,12 +24,14 @@ import jax
 import jax.numpy as jnp
 
 
-def tridiag_solve(D, U, B):
-    """Solve the block-tridiagonal system A X = B.
+def tridiag_solve_seq(D, U, B):
+    """Solve the block-tridiagonal system A X = B by sequential block-Thomas.
 
     A has diagonal blocks ``D`` (F, n, n), super-diagonal blocks ``U``
     (F-1, n, n) (block (k, k+1)), sub-diagonal ``U^T``.  B is (F, n, R).
-    Block-Thomas: sequential over F (tiny 9xR ops per step).
+    O(F) sequential depth — kept as the reference implementation for tests;
+    the production path is the parallel ``tridiag_solve`` below (the
+    sequential scan of tiny 9x9 ops dominated the whole LM iteration on TPU).
     """
     F = D.shape[0]
 
@@ -37,15 +39,11 @@ def tridiag_solve(D, U, B):
         C_prev, G_prev = carry
         Dk, Uk_prev, Bk = inp
         # L = U_{k-1}^T C_{k-1}^{-1}
-        L = jnp.linalg.solve(C_prev, Uk_prev).T.conj() if False else \
-            jax.scipy.linalg.solve(C_prev, Uk_prev, assume_a="gen").T
+        L = jax.scipy.linalg.solve(C_prev, Uk_prev, assume_a="gen").T
         Ck = Dk - L @ Uk_prev
         Gk = Bk - L @ G_prev
         return (Ck, Gk), (Ck, Gk)
 
-    # pad U with zeros for the first step
-    U_pad = jnp.concatenate([jnp.zeros_like(U[:1]), U], axis=0) if U.shape[0] \
-        else jnp.zeros((F,) + D.shape[1:], D.dtype)
     C0, G0 = D[0], B[0]
     (_, _), (Cs, Gs) = jax.lax.scan(fwd, (C0, G0), (D[1:], U, B[1:]))
     Cs = jnp.concatenate([C0[None], Cs], axis=0)
@@ -61,6 +59,76 @@ def tridiag_solve(D, U, B):
     return jnp.concatenate([xs, x_last[None]], axis=0)
 
 
+def tridiag_solve(D, U, B):
+    """Solve the block-tridiagonal system A X = B by block cyclic reduction.
+
+    Same system as :func:`tridiag_solve_seq` but with O(log F) parallel
+    depth: each level eliminates the odd-indexed rows with *batched* n x n
+    solves/matmuls (VPU/MXU-friendly), halving the system, then
+    back-substitutes up the levels.  Rows are padded to a power of two with
+    decoupled identity rows.  Stable for the damped SPD systems produced by
+    ``schur_solve`` (CR is a nested-dissection reordering of the Cholesky
+    elimination).
+    """
+    F, n, _ = D.shape
+    R = B.shape[2]
+    dtype = D.dtype
+
+    if F == 1:
+        return jnp.linalg.solve(D[0], B[0])[None]
+
+    # row-local couplings: L[i] couples x_{i-1}, Rr[i] couples x_{i+1}
+    zero1 = jnp.zeros((1, n, n), dtype)
+    L = jnp.concatenate([zero1, jnp.swapaxes(U, 1, 2)], axis=0)
+    Rr = jnp.concatenate([U, zero1], axis=0)
+
+    # pad to a power of two with identity rows (decoupled: x_pad = 0)
+    Fp = 1 << (F - 1).bit_length()
+    pad = Fp - F
+    if pad:
+        eye = jnp.tile(jnp.eye(n, dtype=dtype)[None], (pad, 1, 1))
+        D = jnp.concatenate([D, eye], axis=0)
+        L = jnp.concatenate([L, jnp.zeros((pad, n, n), dtype)], axis=0)
+        Rr = jnp.concatenate([Rr, jnp.zeros((pad, n, n), dtype)], axis=0)
+        B = jnp.concatenate([B, jnp.zeros((pad, n, R), dtype)], axis=0)
+
+    levels = []
+    while D.shape[0] > 1:
+        D_e, D_o = D[0::2], D[1::2]
+        L_e, L_o = L[0::2], L[1::2]
+        R_e, R_o = Rr[0::2], Rr[1::2]
+        B_e, B_o = B[0::2], B[1::2]
+        # one batched solve for everything the odd rows contribute
+        sol = jnp.linalg.solve(D_o, jnp.concatenate([L_o, R_o, B_o], axis=2))
+        DiL, DiR, DiB = sol[:, :, :n], sol[:, :, n:2 * n], sol[:, :, 2 * n:]
+        levels.append((DiL, DiR, DiB))
+        # odd row j-1 (global 2j-1) terms, shifted into kept-row alignment
+        znn = jnp.zeros((1, n, n), dtype)
+        DiL_m = jnp.concatenate([znn, DiL[:-1]], axis=0)
+        DiR_m = jnp.concatenate([znn, DiR[:-1]], axis=0)
+        DiB_m = jnp.concatenate([jnp.zeros((1, n, R), dtype), DiB[:-1]],
+                                axis=0)
+        D = D_e - L_e @ DiR_m - R_e @ DiL
+        B = B_e - L_e @ DiB_m - R_e @ DiB
+        newL = -(L_e @ DiL_m)
+        newR = -(R_e @ DiR)
+        L, Rr = newL, newR
+
+    x = jnp.linalg.solve(D[0], B[0])[None]
+
+    for DiL, DiR, DiB in reversed(levels):
+        # x currently holds the even rows of this level's system
+        x_e = x
+        x_next = jnp.concatenate([x_e[1:], jnp.zeros((1, n, R), dtype)],
+                                 axis=0)
+        x_o = DiB - DiL @ x_e - DiR @ x_next
+        m = x_e.shape[0] + x_o.shape[0]
+        x = jnp.zeros((m, n, R), dtype)
+        x = x.at[0::2].set(x_e).at[1::2].set(x_o)
+
+    return x[:F]
+
+
 def schur_solve(D, U, Hfs, Hss, gf, gs, damping=0.0):
     """Solve H dx = -g for the arrow-plus-chain system.
 
@@ -70,7 +138,9 @@ def schur_solve(D, U, Hfs, Hss, gf, gs, damping=0.0):
       damping: Levenberg-Marquardt lambda; diagonal entries are scaled by
         (1 + lambda) with an absolute floor, applied before the solve.
 
-    Returns (dx_f (F, 9), dx_s (S,)).
+    Returns (dx_f (F, 9), dx_s (S,), pred_red) where ``pred_red`` is the
+    model-predicted cost reduction 0.5 (lambda dx' Ddiag dx - g' dx) used by
+    the gain-ratio damping policy.
     """
     F, n, _ = D.shape
     S = Hss.shape[0]
@@ -80,10 +150,11 @@ def schur_solve(D, U, Hfs, Hss, gf, gs, damping=0.0):
     eye_n = jnp.eye(n, dtype=dtype)
     eye_S = jnp.eye(S, dtype=dtype)
     floor = jnp.asarray(1e-9, dtype)
-    D = D + (damping * jnp.maximum(
-        jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(D)), floor) + floor * eye_n)
-    Hss = Hss + damping * jnp.maximum(jnp.diag(jnp.diag(Hss)), floor) \
-        + floor * eye_S
+    d0f = jnp.maximum(jax.vmap(jnp.diag)(D), floor)      # (F, 9) undamped
+    d0s = jnp.maximum(jnp.diag(Hss), floor)              # (S,)
+    g0f, g0s = gf, gs
+    D = D + (damping * jax.vmap(jnp.diag)(d0f) + floor * eye_n)
+    Hss = Hss + damping * jnp.diag(d0s) + floor * eye_S
 
     # -- Jacobi scaling for conditioning
     df = jax.vmap(jnp.diag)(D)                       # (F, 9)
@@ -105,4 +176,13 @@ def schur_solve(D, U, Hfs, Hss, gf, gs, damping=0.0):
     rhs_red = -gs + BtX[:, S]
     dx_s = jnp.linalg.solve(S_red, rhs_red)
     dx_f = -X[:, :, S] - jnp.einsum("fis,s->fi", X[:, :, :S], dx_s)
-    return dx_f * sf, dx_s * ss
+    dx_f = dx_f * sf
+    dx_s = dx_s * ss
+
+    # predicted model reduction 0.5 (lambda dx' Ddiag dx - g' dx) in the
+    # original (unscaled) coordinates — the LM gain-ratio denominator
+    g_dot = jnp.sum(g0f * dx_f) + jnp.sum(g0s * dx_s)
+    damp_quad = damping * (jnp.sum(d0f * dx_f * dx_f)
+                           + jnp.sum(d0s * dx_s * dx_s))
+    pred_red = 0.5 * (damp_quad - g_dot)
+    return dx_f, dx_s, pred_red

@@ -68,24 +68,31 @@ def initialize_extrinsic_rotation(state: CalibState,
     """
     imu = data.imu
     K = len(imu.start)
+    # one host transfer for everything the loop needs (per-iteration
+    # device->host syncs here used to dominate the whole staged solve)
     q_wk = np.asarray(state.q_wk)
     t_wk = np.asarray(state.t_wk)
+    bg = np.asarray(state.biases)[:3]
     toff = float(state.time_offset)
+    win_times = np.asarray(imu.win_times)
+    win_gyro = np.asarray(imu.win_gyro)
+    starts = np.asarray(imu.start)
+    ends = np.asarray(imu.end)
 
     # camera(=rig, T_ck=I at this point) body angular velocity per pair
     omega_c = []
     z_g = []
     for k in range(K):
-        dt = imu.end[k] - imu.start[k]
+        dt = ends[k] - starts[k]
         if dt <= 0:
             continue
         w = quat_np.log(quat_np.quat_mul(
             quat_np.inverse(q_wk[k]), q_wk[k + 1])) / dt
-        t_mid = 0.5 * (imu.start[k] + imu.end[k]) - toff
-        g = np.stack([np.interp(t_mid, imu.win_times[k],
-                                imu.win_gyro[k][:, i]) for i in range(3)])
+        t_mid = 0.5 * (starts[k] + ends[k]) - toff
+        g = np.stack([np.interp(t_mid, win_times[k],
+                                win_gyro[k][:, i]) for i in range(3)])
         omega_c.append(w)
-        z_g.append(g - np.asarray(state.biases[:3]))
+        z_g.append(g - bg)
     omega_c = np.stack(omega_c)
     z_g = np.stack(z_g)
 
@@ -152,16 +159,17 @@ def run_staged(state: CalibState, data: ProblemData,
                do_remove_outliers: bool = False, outlier_threshold: float = 2.0,
                gyro_sigma=IMU_GYRO_SIGMA, accel_sigma=IMU_ACCEL_SIGMA,
                stats_callback=None, checkpoint_path: str = None,
-               compute_cov: bool = False) -> StagedResult:
+               compute_cov: bool = False, mesh=None) -> StagedResult:
     """Run the full staged schedule to completion.
 
     ``flags`` carries the starting stage configuration (VicalibTask::Start
-    maps has_initial_guess here, vicalib-task.cc:227-235).
+    maps has_initial_guess here, vicalib-task.cc:227-235).  With ``mesh``
+    the solves run SPMD over the device mesh (see LMSolver).
     """
     sigmas = None
     if data.imu is not None and flags.calibrate_imu:
         sigmas = (float(gyro_sigma), float(accel_sigma))
-    solver = LMSolver(data, options, sigmas=sigmas)
+    solver = LMSolver(data, options, sigmas=sigmas, mesh=mesh)
 
     dtype = state.t_wk.dtype
     stages_run = []
@@ -220,7 +228,7 @@ def run_staged(state: CalibState, data: ProblemData,
             elif do_remove_outliers and not outliers_removed:
                 data = remove_outliers(state, data, info.cam_rmse,
                                        outlier_threshold)
-                solver = LMSolver(data, options, sigmas=sigmas)
+                solver = LMSolver(data, options, sigmas=sigmas, mesh=mesh)
                 outliers_removed = True
             else:
                 break
@@ -228,7 +236,7 @@ def run_staged(state: CalibState, data: ProblemData,
             if do_remove_outliers and not outliers_removed:
                 data = remove_outliers(state, data, info.cam_rmse,
                                        outlier_threshold)
-                solver = LMSolver(data, options, sigmas=sigmas)
+                solver = LMSolver(data, options, sigmas=sigmas, mesh=mesh)
                 outliers_removed = True
             else:
                 break
