@@ -118,6 +118,45 @@ def test_covariance_and_checkpoint_in_engine(dataset, tmp_path):
                                np.asarray(result.state.intr))
 
 
+def test_engine_resume_from_checkpoint(dataset, tmp_path):
+    """-resume_file: restart the staged solve from a native checkpoint; the
+    resumed run must reproduce the full run's result without the early
+    stages (no reference analog — the reference has no mid-solve
+    checkpointing, SURVEY.md section 5)."""
+    root, sim_cfg, data = dataset
+    ckpt = str(tmp_path / "state.npz")
+    cfg = VicalibConfig(
+        cam=f"file://{root}/images/*.pgm",
+        imu=f"csv://{root}/imu",
+        models="linear", calibrate_imu=True,
+        output=str(tmp_path / "cameras.xml"),
+        output_log_file="", checkpoint_file=ckpt)
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        r1 = VicalibEngine(cfg).run()
+        assert r1.success
+        cfg2 = VicalibConfig(
+            cam=f"file://{root}/images/*.pgm",
+            imu=f"csv://{root}/imu",
+            models="linear", calibrate_imu=True,
+            output=str(tmp_path / "cameras2.xml"),
+            output_log_file="", resume_file=ckpt)
+        r2 = VicalibEngine(cfg2).run()
+    finally:
+        os.chdir(cwd)
+    assert r2.success
+    # resumed from the final checkpointed stage: few extra iterations, and
+    # the answer matches the uninterrupted run
+    assert r2.result.total_iterations <= r1.result.total_iterations
+    np.testing.assert_allclose(np.asarray(r2.state.biases),
+                               np.asarray(r1.state.biases), atol=1e-3)
+    np.testing.assert_allclose(r2.stats.cam_intrinsics[0][:4],
+                               r1.stats.cam_intrinsics[0][:4], atol=0.2)
+
+
 def test_model_files_resume(dataset, tmp_path):
     """-model_files + -has_initial_guess: preload a previous cameras.xml and
     verify the validation path (vicalib-engine.cc:189-196,

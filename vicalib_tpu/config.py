@@ -40,6 +40,15 @@ class VicalibConfig:
     use_static_threshold_preset: bool = False
     use_system_time: bool = True          # vicalib-task.cc:50-51
 
+    # --- detection tuning (the reference exposes these as live CVars,
+    # vicalib-task.cc:114-123, 208-213; Calibu defaults)
+    black_on_white: bool = True
+    at_threshold: float = 0.9
+    at_window_ratio: float = 30.0
+    conic_min_area: float = 4.0
+    conic_min_density: float = 0.6
+    conic_min_aspect: float = 0.2
+
     # --- optimization (vicalib-engine.cc:35-42, 94-104; vicalib-task.cc:21-24)
     calibrate_imu: bool = True
     calibrate_intrinsics: bool = True
@@ -82,6 +91,8 @@ class VicalibConfig:
     frame_rate_hint: float = 10.0   # for sources without timestamps
     compute_covariance: bool = False  # reference: COMPUTE_VICALIB_COVARIANCE
     checkpoint_file: str = ""       # native mid-solve checkpoint (npz)
+    resume_file: str = ""           # resume staged solve from a checkpoint
+    profile_dir: str = ""           # jax.profiler trace of the solve
 
     def apply_static_preset(self):
         """-use_static_threshold_preset (vicalib-engine.cc:276-291)."""

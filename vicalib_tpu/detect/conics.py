@@ -174,7 +174,7 @@ def _pad_to_tiles(imgs):
 
 def find_conics_batch(imgs, params: ConicParams = ConicParams(),
                       at_threshold=0.9, at_window_ratio=30.0,
-                      backend="auto"):
+                      black_on_white=True, backend="auto"):
     """Batched pipeline over (B, H, W) frames.
 
     ``backend``: "pallas" uses the fused VMEM-resident threshold+label kernel
@@ -196,20 +196,24 @@ def find_conics_batch(imgs, params: ConicParams = ConicParams(),
     if backend == "pallas":
         # the kernel emits compact component ids directly (no sort/gather)
         _, comp = threshold_and_label(
-            padded, radius, at_threshold, n_iters=params.cc_iters,
-            max_labels=params.max_conics,
+            padded, radius, at_threshold, black_on_white=black_on_white,
+            n_iters=params.cc_iters, max_labels=params.max_conics,
             interpret=jax.devices()[0].platform != "tpu")
     else:
-        comp = _compact_labels_xla(padded, params, at_threshold, radius)
+        comp = _compact_labels_xla(padded, params, at_threshold, radius,
+                                   black_on_white)
     return _extract_batch(comp, padded, H, W, params)
 
 
-@partial(jax.jit, static_argnames=("params", "at_threshold", "radius"))
-def _compact_labels_xla(padded, params, at_threshold, radius):
+@partial(jax.jit, static_argnames=("params", "at_threshold", "radius",
+                                   "black_on_white"))
+def _compact_labels_xla(padded, params, at_threshold, radius,
+                        black_on_white=True):
     from .image_proc import adaptive_threshold
 
     def one(im):
-        m = adaptive_threshold(im, at_threshold, radius=radius)
+        m = adaptive_threshold(im, at_threshold, radius=radius,
+                               black_on_white=black_on_white)
         return compact_labels(label_components(m, params.cc_iters),
                               params.max_conics)
 

@@ -49,7 +49,10 @@ def _detect_all(images, target, cfg, max_conics=512):
 
     F = len(images)
     P = target.n_points
-    params = ConicParams(max_conics=max_conics)
+    params = ConicParams(max_conics=max_conics,
+                         min_area=cfg.conic_min_area,
+                         min_density=cfg.conic_min_density,
+                         min_aspect=cfg.conic_min_aspect)
 
     # chunk frames to bound memory; the fused Pallas threshold+label kernel
     # runs on TPU, the portable XLA path elsewhere (backend="auto")
@@ -58,7 +61,11 @@ def _detect_all(images, target, cfg, max_conics=512):
     imgs = jnp.asarray(np.stack(images), jnp.float32)
     for i in range(0, F, chunk):
         outs.append(jax.tree_util.tree_map(
-            np.asarray, find_conics_batch(imgs[i:i + chunk], params)))
+            np.asarray, find_conics_batch(
+                imgs[i:i + chunk], params,
+                at_threshold=cfg.at_threshold,
+                at_window_ratio=cfg.at_window_ratio,
+                black_on_white=cfg.black_on_white)))
     det = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
     pixels = np.zeros((F, P, 2))
@@ -309,13 +316,33 @@ class VicalibEngine:
         if cfg.n_shards > 1:
             from .dist import make_mesh
             mesh = make_mesh(cfg.n_shards)
-        result = run_staged(
-            state, data, flags, options,
-            do_remove_outliers=cfg.remove_outliers,
-            outlier_threshold=cfg.outlier_threshold,
-            gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
-            checkpoint_path=cfg.checkpoint_file or None,
-            compute_cov=cfg.compute_covariance, mesh=mesh)
+        resume = False
+        if cfg.resume_file:
+            from .checkpoint import load_checkpoint
+            state, saved_flags, meta = load_checkpoint(cfg.resume_file,
+                                                       dtype=dtype)
+            if saved_flags is not None:
+                flags = saved_flags
+            resume = True
+            log.info("resuming from %s (stage %s)", cfg.resume_file,
+                     meta.get("stage"))
+        profile_ctx = None
+        if cfg.profile_dir:
+            import jax.profiler
+            profile_ctx = jax.profiler.trace(cfg.profile_dir)
+            profile_ctx.__enter__()
+        try:
+            result = run_staged(
+                state, data, flags, options,
+                do_remove_outliers=cfg.remove_outliers,
+                outlier_threshold=cfg.outlier_threshold,
+                gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
+                checkpoint_path=cfg.checkpoint_file or None,
+                compute_cov=cfg.compute_covariance, mesh=mesh,
+                resume=resume)
+        finally:
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
         state = result.state
 
         # ---- stats + validation (vicalib-task.cc:831-856)

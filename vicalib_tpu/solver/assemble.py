@@ -104,10 +104,11 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
         r, Jp, Jr, Jt, Ji = reproj_residuals_and_jacobians(
             state, obs, c, layout.model_names[c])
         n_res = n_res + jnp.sum(jnp.asarray(obs.valid))
-        fidx = jnp.asarray(obs.frame_idx)
         # IRLS robust weighting
         s = jnp.sum(r * r, axis=1)
         cost = cost + 0.5 * jnp.sum(reproj_loss.rho(s))
+        # weight() is sqrt(rho'(s)): scaling residual AND jacobian by it
+        # makes every contraction below a plain J^T J / J^T r product
         w = reproj_loss.weight(s)
         r = r * w[:, None]
         Jp = Jp * w[:, None, None]
@@ -115,6 +116,7 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
         Js = jnp.concatenate([Jr, Jt, Ji], axis=2) * w[:, None, None]
 
         # apply masks (zero out inactive tangent directions)
+        fidx = jnp.asarray(obs.frame_idx)
         fm = frame_mask[fidx][:, None, :6]             # (N,1,6)
         Jp = Jp * fm
         c0 = int(layout.cam_rot[c])
@@ -122,15 +124,32 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
         sm = shared_mask[c0:c0 + ncols][None, None, :]
         Js = Js * sm
 
-        D = D.at[:, :6, :6].add(
-            _seg_sum(jnp.einsum("nri,nrj->nij", Jp, Jp), fidx, F))
-        gf = gf.at[:, :6].add(
-            _seg_sum(jnp.einsum("nri,nr->ni", Jp, r), fidx, F))
-        Hfs = Hfs.at[:, :6, c0:c0 + ncols].add(
-            _seg_sum(jnp.einsum("nri,nrj->nij", Jp, Js), fidx, F))
-        Hss = Hss.at[c0:c0 + ncols, c0:c0 + ncols].add(
-            jnp.einsum("nri,nrj->ij", Js, Js))
-        gs = gs.at[c0:c0 + ncols].add(jnp.einsum("nri,nr->i", Js, r))
+        P = obs.points_per_frame
+        if P is not None:
+            # frame-major regular layout: per-frame reductions are batched
+            # (6 x 2P) @ (2P x k) matmuls on the MXU — no scatters
+            Jp_f = Jp.reshape(F, 2 * P, 6)
+            Js_f = Js.reshape(F, 2 * P, ncols)
+            r_f = r.reshape(F, 2 * P)
+            D = D.at[:, :6, :6].add(
+                jnp.einsum("fki,fkj->fij", Jp_f, Jp_f))
+            gf = gf.at[:, :6].add(jnp.einsum("fki,fk->fi", Jp_f, r_f))
+            Hfs = Hfs.at[:, :6, c0:c0 + ncols].add(
+                jnp.einsum("fki,fkj->fij", Jp_f, Js_f))
+            Hss = Hss.at[c0:c0 + ncols, c0:c0 + ncols].add(
+                jnp.einsum("fki,fkj->ij", Js_f, Js_f))
+            gs = gs.at[c0:c0 + ncols].add(
+                jnp.einsum("fki,fk->i", Js_f, r_f))
+        else:
+            D = D.at[:, :6, :6].add(
+                _seg_sum(jnp.einsum("nri,nrj->nij", Jp, Jp), fidx, F))
+            gf = gf.at[:, :6].add(
+                _seg_sum(jnp.einsum("nri,nr->ni", Jp, r), fidx, F))
+            Hfs = Hfs.at[:, :6, c0:c0 + ncols].add(
+                _seg_sum(jnp.einsum("nri,nrj->nij", Jp, Js), fidx, F))
+            Hss = Hss.at[c0:c0 + ncols, c0:c0 + ncols].add(
+                jnp.einsum("nri,nrj->ij", Js, Js))
+            gs = gs.at[c0:c0 + ncols].add(jnp.einsum("nri,nr->i", Js, r))
 
     if data.imu is not None:
         r, J1, J2, Jsh = imu_residuals_and_jacobians(
@@ -151,15 +170,28 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
         i0 = layout.g
         Jsh = Jsh * w[:, None, None] * shared_mask[None, None, i0:i0 + 15]
 
-        D = D + _seg_sum(jnp.einsum("kri,krj->kij", J1, J1), fi, F)
-        D = D + _seg_sum(jnp.einsum("kri,krj->kij", J2, J2), fi + 1, F)
-        if F > 1:
-            U = U + _seg_sum(jnp.einsum("kri,krj->kij", J1, J2), fi, F - 1)
-        gf = gf + _seg_sum(jnp.einsum("kri,kr->ki", J1, r), fi, F)
-        gf = gf + _seg_sum(jnp.einsum("kri,kr->ki", J2, r), fi + 1, F)
-        Hfs = Hfs.at[:, :, i0:i0 + 15].add(
-            _seg_sum(jnp.einsum("kri,krj->kij", J1, Jsh), fi, F)
-            + _seg_sum(jnp.einsum("kri,krj->kij", J2, Jsh), fi + 1, F))
+        if data.imu.consecutive and F > 1:
+            # factor k couples frames (k, k+1): slice-accumulate, no scatter
+            D = D.at[:-1].add(jnp.einsum("kri,krj->kij", J1, J1))
+            D = D.at[1:].add(jnp.einsum("kri,krj->kij", J2, J2))
+            U = U + jnp.einsum("kri,krj->kij", J1, J2)
+            gf = gf.at[:-1].add(jnp.einsum("kri,kr->ki", J1, r))
+            gf = gf.at[1:].add(jnp.einsum("kri,kr->ki", J2, r))
+            Hfs = Hfs.at[:-1, :, i0:i0 + 15].add(
+                jnp.einsum("kri,krj->kij", J1, Jsh))
+            Hfs = Hfs.at[1:, :, i0:i0 + 15].add(
+                jnp.einsum("kri,krj->kij", J2, Jsh))
+        else:
+            D = D + _seg_sum(jnp.einsum("kri,krj->kij", J1, J1), fi, F)
+            D = D + _seg_sum(jnp.einsum("kri,krj->kij", J2, J2), fi + 1, F)
+            if F > 1:
+                U = U + _seg_sum(jnp.einsum("kri,krj->kij", J1, J2), fi,
+                                 F - 1)
+            gf = gf + _seg_sum(jnp.einsum("kri,kr->ki", J1, r), fi, F)
+            gf = gf + _seg_sum(jnp.einsum("kri,kr->ki", J2, r), fi + 1, F)
+            Hfs = Hfs.at[:, :, i0:i0 + 15].add(
+                _seg_sum(jnp.einsum("kri,krj->kij", J1, Jsh), fi, F)
+                + _seg_sum(jnp.einsum("kri,krj->kij", J2, Jsh), fi + 1, F))
         Hss = Hss.at[i0:i0 + 15, i0:i0 + 15].add(
             jnp.einsum("kri,krj->ij", Jsh, Jsh))
         gs = gs.at[i0:i0 + 15].add(jnp.einsum("kri,kr->i", Jsh, r))

@@ -57,6 +57,7 @@ def build_problem(
             p_w=p_w.astype(np.float64),
             p_c=pixels[c].reshape(F * P, 2).astype(np.float64),
             valid=visible[c].reshape(F * P).astype(np.float64),
+            points_per_frame=P,
         ))
 
     imu = None
@@ -69,7 +70,8 @@ def build_problem(
         imu = ImuFactors(win_times=t_w, win_gyro=g_w, win_accel=a_w,
                          start=win["start"], end=win["end"],
                          has_meas=win["has_meas"],
-                         frame_i=np.arange(F - 1, dtype=np.int32))
+                         frame_i=np.arange(F - 1, dtype=np.int32),
+                         consecutive=True)
 
     data = ProblemData(obs=obs, imu=imu, layout=layout, n_frames=F)
 

@@ -32,11 +32,19 @@ class CameraObs:
 
     Registered as a pytree so problem data flows through jit as *arguments*
     (one compile serves every same-shaped problem) instead of being baked
-    into executables as constants."""
+    into executables as constants.
+
+    ``points_per_frame`` (static aux data): when the rows are laid out as
+    frame-major blocks of exactly P rows per frame (frame_idx ==
+    repeat(arange(F), P), the layout build_problem produces), normal-equation
+    assembly reduces with batched per-frame matmuls on the MXU instead of
+    segment_sum scatters — the scatter path dominated the LM iteration on
+    TPU.  None disables the fast path (e.g. re-sharded rows)."""
     frame_idx: np.ndarray   # (N,) int32
     p_w: np.ndarray         # (N, 3) target points (world frame)
     p_c: np.ndarray         # (N, 2) measured pixels
     valid: np.ndarray       # (N,) float (0/1)
+    points_per_frame: int = None   # static: N == n_frames * points_per_frame
 
 
 @dataclasses.dataclass
@@ -45,7 +53,9 @@ class ImuFactors:
 
     Factor k couples frames (frame_i[k], frame_i[k] + 1); carrying the index
     explicitly lets factor shards scatter into the global frame arrays
-    (dist/sharded.py)."""
+    (dist/sharded.py).  ``consecutive`` (static aux data): frame_i ==
+    arange(K) with K == n_frames - 1, enabling slice-based accumulation into
+    the tridiagonal blocks instead of segment_sum scatters."""
     win_times: np.ndarray   # (K, M)
     win_gyro: np.ndarray    # (K, M, 3)
     win_accel: np.ndarray   # (K, M, 3)
@@ -53,6 +63,7 @@ class ImuFactors:
     end: np.ndarray         # (K,)
     has_meas: np.ndarray    # (K,) bool
     frame_i: np.ndarray     # (K,) int32 — first frame of the pair
+    consecutive: bool = False      # static: frame_i == arange(n_frames - 1)
 
 
 # ----------------------------------------------------------------- reprojection
@@ -191,20 +202,20 @@ def imu_residuals_and_jacobians(state: CalibState, imu: ImuFactors,
 
 
 def _obs_flatten(o):
-    return (o.frame_idx, o.p_w, o.p_c, o.valid), None
+    return (o.frame_idx, o.p_w, o.p_c, o.valid), o.points_per_frame
 
 
 def _obs_unflatten(aux, children):
-    return CameraObs(*children)
+    return CameraObs(*children, points_per_frame=aux)
 
 
 def _imu_flatten(o):
     return (o.win_times, o.win_gyro, o.win_accel, o.start, o.end,
-            o.has_meas, o.frame_i), None
+            o.has_meas, o.frame_i), o.consecutive
 
 
 def _imu_unflatten(aux, children):
-    return ImuFactors(*children)
+    return ImuFactors(*children, consecutive=aux)
 
 
 jax.tree_util.register_pytree_node(CameraObs, _obs_flatten, _obs_unflatten)

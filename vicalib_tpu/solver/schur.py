@@ -12,7 +12,8 @@ factorize it; here the structure is explicit:
 
 Schur complement: S_red = C - B' A^-1 B  (psum-reducible across frame shards —
 the distributed path in dist/), then a tiny dense solve and back-substitution.
-A^-1 applications use a block-Thomas factorization (lax.scan over frames).
+A^-1 applications use block cyclic reduction: O(log F) levels of batched
+9x9 solves instead of a 2F-step sequential block-Thomas scan.
 
 Jacobi (diagonal) scaling is applied symmetrically before the solve so the
 float32 TPU path stays well-conditioned despite mixed parameter scales
@@ -59,6 +60,43 @@ def tridiag_solve_seq(D, U, B):
     return jnp.concatenate([xs, x_last[None]], axis=0)
 
 
+def _spd_solve_small(A, B):
+    """Batched SPD solve via fully unrolled Cholesky (no pivoting).
+
+    A: (m, n, n) SPD, B: (m, n, R).  ``jnp.linalg.solve`` lowers to pivoted
+    LU, which is slow on TPU for small batched blocks; an unrolled Cholesky
+    is ~n^2/2 fused VPU ops over the batch.  Valid here because every block
+    is a damped, Jacobi-scaled Gauss-Newton diagonal block (SPD).
+    """
+    n = A.shape[1]
+    # Cholesky: column-by-column, vectorized over the batch
+    cols = []                           # L columns, each (m, n)
+    for k in range(n):
+        a_k = A[:, :, k]                                  # (m, n)
+        for j in range(k):
+            a_k = a_k - cols[j] * cols[j][:, k:k + 1]
+        d = jnp.sqrt(jnp.maximum(a_k[:, k], 1e-30))
+        col = a_k / d[:, None]
+        # zero the strictly-upper part of this column
+        col = jnp.where(jnp.arange(n) >= k, col, 0.0)
+        cols.append(col)
+    # forward substitution: L Y = B
+    y = []
+    for k in range(n):
+        acc = B[:, k, :]
+        for j in range(k):
+            acc = acc - cols[j][:, k:k + 1] * y[j]
+        y.append(acc / cols[k][:, k:k + 1])
+    # back substitution: L^T X = Y
+    x = [None] * n
+    for k in reversed(range(n)):
+        acc = y[k]
+        for j in range(k + 1, n):
+            acc = acc - cols[k][:, j:j + 1] * x[j]
+        x[k] = acc / cols[k][:, k:k + 1]
+    return jnp.stack(x, axis=1)                            # (m, n, R)
+
+
 def tridiag_solve(D, U, B):
     """Solve the block-tridiagonal system A X = B by block cyclic reduction.
 
@@ -75,7 +113,7 @@ def tridiag_solve(D, U, B):
     dtype = D.dtype
 
     if F == 1:
-        return jnp.linalg.solve(D[0], B[0])[None]
+        return jnp.linalg.solve(D, B)
 
     # row-local couplings: L[i] couples x_{i-1}, Rr[i] couples x_{i+1}
     zero1 = jnp.zeros((1, n, n), dtype)
@@ -92,13 +130,24 @@ def tridiag_solve(D, U, B):
         Rr = jnp.concatenate([Rr, jnp.zeros((pad, n, n), dtype)], axis=0)
         B = jnp.concatenate([B, jnp.zeros((pad, n, R), dtype)], axis=0)
 
+    def split(a):
+        # even/odd rows via reshape (contiguous), not strided slicing
+        m = a.shape[0]
+        a2 = a.reshape((m // 2, 2) + a.shape[1:])
+        return a2[:, 0], a2[:, 1]
+
     levels = []
     while D.shape[0] > 1:
-        D_e, D_o = D[0::2], D[1::2]
-        L_e, L_o = L[0::2], L[1::2]
-        R_e, R_o = Rr[0::2], Rr[1::2]
-        B_e, B_o = B[0::2], B[1::2]
-        # one batched solve for everything the odd rows contribute
+        D_e, D_o = split(D)
+        L_e, L_o = split(L)
+        R_e, R_o = split(Rr)
+        B_e, B_o = split(B)
+        # one batched solve for everything the odd rows contribute.
+        # Pivoted LU, not the unrolled Cholesky: at tiny LM damping the
+        # scaled Schur-complement blocks get ill-conditioned enough in f32
+        # that unpivoted elimination produced garbage steps (observed as
+        # 3-4x iteration blowup in the inertial-rotation stage); batched
+        # 9x9 LU measures the same ~0.5 us/block on TPU.
         sol = jnp.linalg.solve(D_o, jnp.concatenate([L_o, R_o, B_o], axis=2))
         DiL, DiR, DiB = sol[:, :, :n], sol[:, :, n:2 * n], sol[:, :, 2 * n:]
         levels.append((DiL, DiR, DiB))
@@ -114,7 +163,7 @@ def tridiag_solve(D, U, B):
         newR = -(R_e @ DiR)
         L, Rr = newL, newR
 
-    x = jnp.linalg.solve(D[0], B[0])[None]
+    x = jnp.linalg.solve(D, B)
 
     for DiL, DiR, DiB in reversed(levels):
         # x currently holds the even rows of this level's system
@@ -122,9 +171,8 @@ def tridiag_solve(D, U, B):
         x_next = jnp.concatenate([x_e[1:], jnp.zeros((1, n, R), dtype)],
                                  axis=0)
         x_o = DiB - DiL @ x_e - DiR @ x_next
-        m = x_e.shape[0] + x_o.shape[0]
-        x = jnp.zeros((m, n, R), dtype)
-        x = x.at[0::2].set(x_e).at[1::2].set(x_o)
+        # interleave evens/odds via stack+reshape (no strided scatter)
+        x = jnp.stack([x_e, x_o], axis=1).reshape(-1, n, R)
 
     return x[:F]
 

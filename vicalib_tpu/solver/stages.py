@@ -117,6 +117,27 @@ def initialize_extrinsic_rotation(state: CalibState,
                           q_ck=jnp.asarray(q_ck_all, dtype))
 
 
+def initialize_velocities(state: CalibState, data: ProblemData) -> CalibState:
+    """Seed frame velocities by central differences of the (visually
+    refined) frame positions.  The reference leaves velocities at zero and
+    lets the solver pull them in (vicalibrator.h:603-604 adds them
+    unconstrained); seeding them removes several LM iterations of purely
+    linear cleanup.  TPU-native design improvement, not reference behavior.
+    """
+    t_wk = np.asarray(state.t_wk)
+    times = np.concatenate([np.asarray(data.imu.start),
+                            np.asarray(data.imu.end)[-1:]])
+    F = t_wk.shape[0]
+    if F < 2 or len(times) != F:
+        return state
+    v = np.zeros_like(t_wk)
+    dt = np.maximum(times[1:] - times[:-1], 1e-6)
+    v[1:-1] = (t_wk[2:] - t_wk[:-2]) / (times[2:] - times[:-2])[:, None]
+    v[0] = (t_wk[1] - t_wk[0]) / dt[0]
+    v[-1] = (t_wk[-1] - t_wk[-2]) / dt[-1]
+    return state._replace(v_w=jnp.asarray(v, state.v_w.dtype))
+
+
 def initialize_gravity(state: CalibState, data: ProblemData) -> CalibState:
     """Estimate the 2-angle gravity direction from the middle frame's
     accelerometer reading rotated into the world (vicalibrator.h:927-949)."""
@@ -159,12 +180,16 @@ def run_staged(state: CalibState, data: ProblemData,
                do_remove_outliers: bool = False, outlier_threshold: float = 2.0,
                gyro_sigma=IMU_GYRO_SIGMA, accel_sigma=IMU_ACCEL_SIGMA,
                stats_callback=None, checkpoint_path: str = None,
-               compute_cov: bool = False, mesh=None) -> StagedResult:
+               compute_cov: bool = False, mesh=None,
+               resume: bool = False) -> StagedResult:
     """Run the full staged schedule to completion.
 
     ``flags`` carries the starting stage configuration (VicalibTask::Start
     maps has_initial_guess here, vicalib-task.cc:227-235).  With ``mesh``
-    the solves run SPMD over the device mesh (see LMSolver).
+    the solves run SPMD over the device mesh (see LMSolver).  With
+    ``resume`` (state+flags loaded from a checkpoint) the one-time state
+    initializations are skipped — the checkpointed stage re-solves from its
+    converged state (cheap) and the schedule continues from there.
     """
     sigmas = None
     if data.imu is not None and flags.calibrate_imu:
@@ -174,8 +199,8 @@ def run_staged(state: CalibState, data: ProblemData,
     dtype = state.t_wk.dtype
     stages_run = []
     outliers_removed = False
-    gravity_initialized = False
-    extrinsic_rot_initialized = False
+    gravity_initialized = resume
+    extrinsic_rot_initialized = resume
     total_iters = 0
     info = None
 
@@ -191,6 +216,7 @@ def run_staged(state: CalibState, data: ProblemData,
             extrinsic_rot_initialized = True
 
         if full_inertial and not gravity_initialized:
+            state = initialize_velocities(state, data)
             state = initialize_gravity(state, data)
             gravity_initialized = True
 
@@ -210,6 +236,15 @@ def run_staged(state: CalibState, data: ProblemData,
         total_iters += info.iterations
         log.info("stage %s done: cost %.6e rmse %s iters %d wall %.2fs",
                  stage_name, info.cost, info.cam_rmse, info.iterations, wall)
+        if stats_callback is not None:
+            # per-stage progress publication (the reference's 30 ms stats
+            # polling loop, vicalib-engine.cc:388-432; the fused solver runs
+            # a stage per device call, so stage boundaries are the cadence)
+            stats_callback({"stage": stage_name, "cost": float(info.cost),
+                            "iterations": int(info.iterations),
+                            "total_iterations": total_iters,
+                            "cam_rmse": np.asarray(info.cam_rmse),
+                            "wall_s": wall, "state": state})
         if checkpoint_path:
             from ..checkpoint import save_checkpoint
             save_checkpoint(checkpoint_path, state, flags,
