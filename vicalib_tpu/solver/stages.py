@@ -236,6 +236,20 @@ def run_staged(state: CalibState, data: ProblemData,
         total_iters += info.iterations
         log.info("stage %s done: cost %.6e rmse %s iters %d wall %.2fs",
                  stage_name, info.cost, info.cam_rmse, info.iterations, wall)
+        if full_inertial and log.isEnabledFor(logging.DEBUG):
+            # per-factor Mahalanobis distance of the whitened IMU residuals
+            # vs chi2inv(0.95, 9) = 16.919 (UpdateImuWeights' consistency
+            # log, vicalibrator.h:747-797)
+            from .residuals import imu_residuals
+            from .weights import imu_weights
+            W_dbg = imu_weights(state, solver.data.imu, sigmas[0], sigmas[1])
+            r_dbg = np.asarray(imu_residuals(state, solver.data.imu, W_dbg,
+                                             jnp.asarray(False)))
+            mahal = np.sum(r_dbg * r_dbg, axis=1)
+            n_bad = int(np.sum(mahal > 16.919))
+            log.debug("IMU Mahalanobis: median %.3f max %.3f; %d/%d factors "
+                      "over chi2inv(0.95,9)=16.919", float(np.median(mahal)),
+                      float(mahal.max()), n_bad, len(mahal))
         if stats_callback is not None:
             # per-stage progress publication (the reference's 30 ms stats
             # polling loop, vicalib-engine.cc:388-432; the fused solver runs
