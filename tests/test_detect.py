@@ -80,3 +80,25 @@ def test_grid_match_end_to_end(rendered):
         # loss / outlier removal handles those
         assert np.percentile(err, 95) < 0.5, np.percentile(err, 95)
         assert err.max() < 3.0, err.max()
+
+
+def test_native_grid_matcher_parity(rendered):
+    """The C++ grid matcher (native/grid_match.cpp) must produce the same
+    associations as the numpy reference implementation."""
+    from vicalib_tpu.io import native as native_io
+
+    if native_io.get_lib() is None:
+        pytest.skip("native library unavailable")
+    cfg, data, imgs = rendered
+    params = ConicParams(max_conics=256)
+    target = cfg.target
+    for k in range(len(imgs)):
+        out = find_conics(jnp.asarray(imgs[k], jnp.float32), params)
+        centers = np.asarray(out["center"])
+        radii = np.asarray(out["radius"])
+        valid = np.asarray(out["valid"])
+        m_np = match_target(centers, radii, valid, target, backend="numpy")
+        m_cc = match_target(centers, radii, valid, target, backend="native")
+        assert m_cc.ok == m_np.ok
+        np.testing.assert_array_equal(m_cc.grid_coords, m_np.grid_coords)
+        assert m_cc.n_matched == m_np.n_matched

@@ -51,6 +51,13 @@ def get_lib():
     lib.vn_read_doubles.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_long]
     lib.vn_read_doubles.restype = ctypes.c_long
+    if hasattr(lib, "vn_match_grid"):
+        lib.vn_match_grid.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int64)]
+        lib.vn_match_grid.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -92,6 +99,32 @@ def read_pgm(path):
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                          ctypes.byref(w), ctypes.byref(h))
     return out if rc == 0 else None
+
+
+def match_grid(centers, radii, valid, pattern, min_matched=16,
+               min_agreement=0.8):
+    """Native grid association (grid_match.cpp) or None if unavailable.
+
+    Returns (n_matched, grid_coords (K, 2) int64 with -1 for unmatched), or
+    None when the native library is missing or found no grid."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "vn_match_grid"):
+        return None
+    centers = np.ascontiguousarray(centers, dtype=np.float64)
+    radii = np.ascontiguousarray(radii, dtype=np.float64)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    pattern = np.ascontiguousarray(pattern, dtype=np.int32)
+    K = len(centers)
+    rows, cols = pattern.shape
+    out = np.empty((K, 2), dtype=np.int64)
+    n = lib.vn_match_grid(
+        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        radii.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        K, pattern.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rows, cols, min_matched, min_agreement,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return (int(n), out) if n >= 0 else (-1, out)
 
 
 def read_doubles(path, max_count=50_000_000):

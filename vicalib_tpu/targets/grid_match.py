@@ -152,13 +152,34 @@ def _apply_sym(coords, sym):
 
 
 def match_target(centers, radii, valid, target: TargetGrid,
-                 min_matched=16, min_agreement=0.8) -> GridMatch:
+                 min_matched=16, min_agreement=0.8,
+                 backend="auto") -> GridMatch:
     """Associate detections with the target grid.
 
     centers: (K, 2) pixel centers; radii: (K,); valid: (K,) bool.
     Returns GridMatch with per-detection grid (col, row) or (-1, -1).
+
+    ``backend``: "native" uses the C++ matcher (native/grid_match.cpp, the
+    HAL-style host runtime — same algorithm, ~an order of magnitude faster
+    per frame), "numpy" this module's reference implementation, "auto"
+    native when the library is available.
     """
     K = len(centers)
+    if backend in ("auto", "native"):
+        from ..io import native as native_io
+        res = native_io.match_grid(np.asarray(centers, np.float64),
+                                   np.asarray(radii, np.float64),
+                                   np.asarray(valid, bool), target.grid,
+                                   min_matched, min_agreement)
+        if res is not None:
+            n, coords = res
+            if n >= 0:
+                return GridMatch(ok=True, grid_coords=coords, n_matched=n)
+            return GridMatch(ok=False,
+                             grid_coords=np.full((K, 2), -1, dtype=np.int64),
+                             n_matched=0)
+        if backend == "native":
+            raise RuntimeError("native grid matcher unavailable")
     fail = GridMatch(ok=False,
                      grid_coords=np.full((K, 2), -1, dtype=np.int64),
                      n_matched=0)
