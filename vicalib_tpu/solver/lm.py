@@ -171,6 +171,20 @@ def _device_problem(data: ProblemData) -> ProblemData:
     return jax.tree_util.tree_map(jnp.asarray, data)
 
 
+def materialize_info(raw) -> LMInfo:
+    """Convert a lazy solve's device outputs into an LMInfo (forces the
+    device sync; see LMSolver.solve(lazy=True))."""
+    final_cost, cam_sq, cam_cnt, it, done = raw
+    cam_sq = np.asarray(cam_sq)
+    cam_cnt = np.maximum(np.asarray(cam_cnt), 1.0)
+    # Ceres-style per-camera "rmse": sqrt((1/2 sum |r|^2) / n_blocks)
+    # (vicalibrator.h:959-971, Problem::Evaluate cost = 1/2 sum r^2)
+    cam_rmse = np.sqrt(0.5 * cam_sq / cam_cnt)
+    return LMInfo(cost=float(final_cost), iterations=int(it),
+                  gradient_norm=float("nan"), converged=bool(done),
+                  cam_rmse=cam_rmse, n_residuals=int(np.sum(cam_cnt)))
+
+
 class LMSolver:
     """Thin wrapper binding a ProblemData to the module-level fused solve.
 
@@ -191,8 +205,13 @@ class LMSolver:
         self.sigmas = sigmas
 
     def solve(self, state: CalibState, fmask, smask, use_cov_weights=False,
-              inertial_scale=0.0, rotation_only=False, seed_weight=None):
-        """Run LM to convergence in one device call."""
+              inertial_scale=0.0, rotation_only=False, seed_weight=None,
+              lazy=False):
+        """Run LM to convergence in one device call.
+
+        With ``lazy`` the raw device outputs are returned (pass to
+        :func:`materialize_info` later) so back-to-back stage solves
+        pipeline asynchronously without a host sync in between."""
         dtype = state.t_wk.dtype
         K = len(self.data.imu.start) if self.data.imu is not None else 1
         if seed_weight is None:
@@ -204,13 +223,7 @@ class LMSolver:
                           jnp.asarray(rotation_only, bool),
                           jnp.asarray(use_cov_weights, bool), seed_weight,
                           self.options, self.sigmas)
-        state, final_cost, cam_sq, cam_cnt, it, done = out
-        cam_sq = np.asarray(cam_sq)
-        cam_cnt = np.maximum(np.asarray(cam_cnt), 1.0)
-        # Ceres-style per-camera "rmse": sqrt((1/2 sum |r|^2) / n_blocks)
-        # (vicalibrator.h:959-971, Problem::Evaluate cost = 1/2 sum r^2)
-        cam_rmse = np.sqrt(0.5 * cam_sq / cam_cnt)
-        info = LMInfo(cost=float(final_cost), iterations=int(it),
-                      gradient_norm=float("nan"), converged=bool(done),
-                      cam_rmse=cam_rmse, n_residuals=int(np.sum(cam_cnt)))
-        return state, info
+        state, raw = out[0], out[1:]
+        if lazy:
+            return state, raw
+        return state, materialize_info(raw)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,7 @@ import numpy as np
 from ..geometry import quat_np, se3, so3
 from ..imu import preintegrate
 from .assemble import ProblemData
-from .lm import LMInfo, LMOptions, LMSolver
+from .lm import LMInfo, LMOptions, LMSolver, materialize_info
 from .problem import CalibState, StageFlags, frame_mask, shared_mask
 from .residuals import reproj_residuals
 
@@ -50,8 +51,14 @@ class StagedResult:
     covariance: np.ndarray = None  # (S, S) shared-parameter covariance
 
 
+def _interp3(t, times, vals):
+    """(M,), (M, 3) stream interpolated at scalar t -> (3,)."""
+    return jax.vmap(lambda c: jnp.interp(t, times, c), in_axes=1)(vals)
+
+
+@jax.jit
 def initialize_extrinsic_rotation(state: CalibState,
-                                  data: ProblemData) -> CalibState:
+                                  imu) -> CalibState:
     """Jump-start camera-0's extrinsic rotation by gyro/vision alignment.
 
     The IMU residual has no *direct* dependence on R_ck — the coupling is
@@ -63,98 +70,112 @@ def initialize_extrinsic_rotation(state: CalibState,
       gyro body rate  z_g(t)  ~  R_ck^T  omega_cam(t)
 
     with omega_cam from consecutive PnP camera orientations, then re-anchor
-    frames (T_wk <- T_wk * dT_ck) so reprojection is untouched.  This is a
-    TPU-native design improvement, not a reference behavior.
+    frames (T_wk <- T_wk * dT_ck) so reprojection is untouched; the
+    least-squares gyro bias given the fitted rotation is seeded as well
+    (the residual adds the stored bias to the measurement:
+    omega_body = z_g + b_g, preintegrate._pose_derivative).  Runs entirely
+    on device so stage transitions don't force host syncs.  TPU-native
+    design improvements, not reference behavior (the reference starts from
+    identity/zero, vicalib-engine.cc:273-274).
+
+    ``imu``: consecutive-factor ImuFactors (device arrays).
     """
-    imu = data.imu
-    K = len(imu.start)
-    # one host transfer for everything the loop needs (per-iteration
-    # device->host syncs here used to dominate the whole staged solve)
-    q_wk = np.asarray(state.q_wk)
-    t_wk = np.asarray(state.t_wk)
-    bg = np.asarray(state.biases)[:3]
-    toff = float(state.time_offset)
-    win_times = np.asarray(imu.win_times)
-    win_gyro = np.asarray(imu.win_gyro)
-    starts = np.asarray(imu.start)
-    ends = np.asarray(imu.end)
+    dtype = state.q_wk.dtype
+    start = jnp.asarray(imu.start, dtype)
+    end = jnp.asarray(imu.end, dtype)
+    dt = end - start
+    valid = ((dt > 0) & jnp.asarray(imu.has_meas)).astype(dtype)
+    safe_dt = jnp.where(dt > 0, dt, 1.0)
 
     # camera(=rig, T_ck=I at this point) body angular velocity per pair
-    omega_c = []
-    z_g = []
-    for k in range(K):
-        dt = ends[k] - starts[k]
-        if dt <= 0:
-            continue
-        w = quat_np.log(quat_np.quat_mul(
-            quat_np.inverse(q_wk[k]), q_wk[k + 1])) / dt
-        t_mid = 0.5 * (starts[k] + ends[k]) - toff
-        g = np.stack([np.interp(t_mid, win_times[k],
-                                win_gyro[k][:, i]) for i in range(3)])
-        omega_c.append(w)
-        z_g.append(g - bg)
-    omega_c = np.stack(omega_c)
-    z_g = np.stack(z_g)
+    dq_k = so3.quat_mul(so3.inverse(state.q_wk[:-1]), state.q_wk[1:])
+    omega = jax.vmap(so3.log)(dq_k) / safe_dt[:, None]
+    t_mid = 0.5 * (start + end) - state.time_offset
+    zg = jax.vmap(_interp3)(t_mid, jnp.asarray(imu.win_times),
+                            jnp.asarray(imu.win_gyro)) - state.biases[:3]
 
     # Wahba: R_hat = argmin sum |z_g - R omega_c|^2  =>  R_ck = R_hat^T
-    B = z_g.T @ omega_c
-    Uu, _, Vt = np.linalg.svd(B)
-    d = np.linalg.det(Uu @ Vt)
-    R_hat = Uu @ np.diag([1.0, 1.0, d]) @ Vt
-    R_ck = R_hat.T
-    q_new = quat_np.from_matrix(R_ck)
-    # dT = T_ck_old^-1 * T_ck_new  (rotation only; translation unchanged)
-    q_ck_np = np.asarray(state.q_ck)
-    dq = quat_np.quat_mul(quat_np.inverse(q_ck_np[0]), q_new)
-    log.info("extrinsic rotation init: |angle| = %.4f rad",
-             float(np.linalg.norm(quat_np.log(dq))))
-    # re-anchor frames AND every camera's extrinsics so all reprojections
-    # are untouched: T_wk <- T_wk * dT,  T_ck <- T_ck * dT for each camera
-    dtype = state.q_wk.dtype
-    q_wk_new = quat_np.quat_mul(q_wk, dq[None, :])
-    q_ck_all = quat_np.quat_mul(q_ck_np, dq[None, :])
-    return state._replace(q_wk=jnp.asarray(q_wk_new, dtype),
-                          q_ck=jnp.asarray(q_ck_all, dtype))
+    B = jnp.einsum("k,ki,kj->ij", valid, zg, omega)
+    Uu, _, Vt = jnp.linalg.svd(B)
+    d = jnp.linalg.det(Uu @ Vt)
+    R_hat = (Uu * jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d])) @ Vt
+    q_new = so3.from_matrix(R_hat.T)
+
+    n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+    bg_init = jnp.einsum("k,ki->i", valid,
+                         omega @ R_hat.T - zg) / n_valid
+    biases = state.biases.at[:3].add(bg_init)
+
+    # dT = T_ck_old^-1 * T_ck_new (rotation only); re-anchor frames AND
+    # every camera's extrinsics so all reprojections are untouched
+    dq = so3.quat_mul(so3.inverse(state.q_ck[0]), q_new)
+    q_wk_new = so3.quat_mul(state.q_wk, dq[None, :])
+    q_ck_all = so3.quat_mul(state.q_ck, dq[None, :])
+    return state._replace(q_wk=q_wk_new, q_ck=q_ck_all, biases=biases)
 
 
-def initialize_velocities(state: CalibState, data: ProblemData) -> CalibState:
+@jax.jit
+def initialize_velocities(state: CalibState, imu) -> CalibState:
     """Seed frame velocities by central differences of the (visually
     refined) frame positions.  The reference leaves velocities at zero and
     lets the solver pull them in (vicalibrator.h:603-604 adds them
     unconstrained); seeding them removes several LM iterations of purely
     linear cleanup.  TPU-native design improvement, not reference behavior.
     """
-    t_wk = np.asarray(state.t_wk)
-    times = np.concatenate([np.asarray(data.imu.start),
-                            np.asarray(data.imu.end)[-1:]])
+    dtype = state.t_wk.dtype
+    t_wk = state.t_wk
+    times = jnp.concatenate([jnp.asarray(imu.start, dtype),
+                             jnp.asarray(imu.end, dtype)[-1:]])
     F = t_wk.shape[0]
-    if F < 2 or len(times) != F:
+    if F < 2 or times.shape[0] != F:
         return state
-    v = np.zeros_like(t_wk)
-    dt = np.maximum(times[1:] - times[:-1], 1e-6)
-    v[1:-1] = (t_wk[2:] - t_wk[:-2]) / (times[2:] - times[:-2])[:, None]
-    v[0] = (t_wk[1] - t_wk[0]) / dt[0]
-    v[-1] = (t_wk[-1] - t_wk[-2]) / dt[-1]
-    return state._replace(v_w=jnp.asarray(v, state.v_w.dtype))
+    dt = jnp.maximum(times[1:] - times[:-1], 1e-6)
+    v_mid = (t_wk[2:] - t_wk[:-2]) / jnp.maximum(
+        times[2:] - times[:-2], 1e-6)[:, None]
+    v = jnp.concatenate([
+        ((t_wk[1] - t_wk[0]) / dt[0])[None],
+        v_mid,
+        ((t_wk[-1] - t_wk[-2]) / dt[-1])[None]])
+    return state._replace(v_w=v.astype(dtype))
 
 
-def initialize_gravity(state: CalibState, data: ProblemData) -> CalibState:
+@partial(jax.jit, static_argnames=("n_frames",))
+def initialize_gravity(state: CalibState, imu, n_frames: int) -> CalibState:
     """Estimate the 2-angle gravity direction from the middle frame's
-    accelerometer reading rotated into the world (vicalibrator.h:927-949)."""
-    imu = data.imu
-    k = min(data.n_frames // 2, len(imu.start) - 1)
-    t_query = imu.start[k] - float(state.time_offset)
-    accel = np.stack([
-        np.interp(t_query, imu.win_times[k], imu.win_accel[k][:, i])
-        for i in range(3)])
-    g_b = accel / np.linalg.norm(accel)
-    g_w = quat_np.rotate(np.asarray(state.q_wk[k]), g_b)
-    p = np.arcsin(np.clip(g_w[1], -1, 1))
-    cp = np.cos(p)
-    q = np.arcsin(np.clip(-g_w[0] / (cp if abs(cp) > 1e-9 else 1e-9), -1, 1))
-    log.info("gravity init: body %s world %s -> angles (%.4f, %.4f)",
-             g_b, g_w, p, q)
-    return state._replace(g_dir=jnp.asarray([p, q], dtype=state.g_dir.dtype))
+    accelerometer reading rotated into the world (vicalibrator.h:927-949),
+    then seed the least-squares accel bias given gravity and the seeded
+    velocities: the residual model is a_w = R(z_a + b_a) - g_w
+    (preintegrate), so b_a = mean_k[ R^T (a_w + g_w) - z_a ] with a_w from
+    velocity finite differences (bias seeding is a TPU-native improvement;
+    the reference starts at zero)."""
+    dtype = state.g_dir.dtype
+    k = min(n_frames // 2, int(imu.start.shape[0]) - 1)
+    win_times = jnp.asarray(imu.win_times)
+    win_accel = jnp.asarray(imu.win_accel)
+    start = jnp.asarray(imu.start, dtype)
+    end = jnp.asarray(imu.end, dtype)
+
+    t_query = start[k] - state.time_offset
+    accel = _interp3(t_query, win_times[k], win_accel[k])
+    g_b = accel / jnp.linalg.norm(accel)
+    g_w = so3.rotate(state.q_wk[k], g_b)
+    p = jnp.arcsin(jnp.clip(g_w[1], -1, 1))
+    cp = jnp.cos(p)
+    safe_cp = jnp.where(jnp.abs(cp) > 1e-9, cp, 1e-9)
+    q = jnp.arcsin(jnp.clip(-g_w[0] / safe_cp, -1, 1))
+    state = state._replace(g_dir=jnp.stack([p, q]).astype(dtype))
+
+    dt = end - start
+    valid = ((dt > 0) & jnp.asarray(imu.has_meas)).astype(dtype)
+    safe_dt = jnp.where(dt > 0, dt, 1.0)
+    t_mid = 0.5 * (start + end) - state.time_offset
+    z_a = jax.vmap(_interp3)(t_mid, win_times, win_accel)
+    a_w = (state.v_w[1:] - state.v_w[:-1]) / safe_dt[:, None]
+    g_w_vec = preintegrate.gravity_vector(state.g_dir)
+    ba_k = so3.rotate(so3.inverse(state.q_wk[:-1]), a_w + g_w_vec) - z_a
+    n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+    ba = jnp.einsum("k,ki->i", valid, ba_k) / n_valid
+    return state._replace(biases=state.biases.at[3:].add(ba))
 
 
 def remove_outliers(state: CalibState, data: ProblemData, cam_rmse,
@@ -204,6 +225,16 @@ def run_staged(state: CalibState, data: ProblemData,
     total_iters = 0
     info = None
 
+    # With no per-stage observers, the whole schedule pipelines on-device:
+    # stage solves and the jitted state initializations dispatch back-to-back
+    # asynchronously, and results materialize once at the end (one host
+    # sync).  Any observer (stats callback, checkpointing, outlier removal,
+    # debug logging) degrades that stage to a synchronous solve.
+    lazy = (stats_callback is None and not checkpoint_path
+            and not do_remove_outliers
+            and not log.isEnabledFor(logging.DEBUG))
+    pending = []                      # (stage_name, raw_info, dispatch_wall)
+
     while True:
         fmask = frame_mask(flags, data.n_frames, dtype)
         smask = shared_mask(data.layout, flags, dtype)
@@ -212,12 +243,12 @@ def run_staged(state: CalibState, data: ProblemData,
 
         if (inertial and flags.rotation_only
                 and not extrinsic_rot_initialized):
-            state = initialize_extrinsic_rotation(state, data)
+            state = initialize_extrinsic_rotation(state, data.imu)
             extrinsic_rot_initialized = True
 
         if full_inertial and not gravity_initialized:
-            state = initialize_velocities(state, data)
-            state = initialize_gravity(state, data)
+            state = initialize_velocities(state, data.imu)
+            state = initialize_gravity(state, data.imu, data.n_frames)
             gravity_initialized = True
 
         stage_name = (
@@ -226,45 +257,51 @@ def run_staged(state: CalibState, data: ProblemData,
             "inertial-full%s" % ("+scale" if flags.scale_active else ""))
         log.info("=== stage: %s ===", stage_name)
         t_stage = time.time()
-        state, info = solver.solve(
+        state, raw = solver.solve(
             state, fmask, smask,
             use_cov_weights=full_inertial,
             inertial_scale=1.0 if inertial else 0.0,
-            rotation_only=flags.rotation_only)
+            rotation_only=flags.rotation_only, lazy=True)
         wall = time.time() - t_stage
-        stages_run.append((stage_name, info.iterations, info.cost, wall))
-        total_iters += info.iterations
-        log.info("stage %s done: cost %.6e rmse %s iters %d wall %.2fs",
-                 stage_name, info.cost, info.cam_rmse, info.iterations, wall)
-        if full_inertial and log.isEnabledFor(logging.DEBUG):
-            # per-factor Mahalanobis distance of the whitened IMU residuals
-            # vs chi2inv(0.95, 9) = 16.919 (UpdateImuWeights' consistency
-            # log, vicalibrator.h:747-797)
-            from .residuals import imu_residuals
-            from .weights import imu_weights
-            W_dbg = imu_weights(state, solver.data.imu, sigmas[0], sigmas[1])
-            r_dbg = np.asarray(imu_residuals(state, solver.data.imu, W_dbg,
-                                             jnp.asarray(False)))
-            mahal = np.sum(r_dbg * r_dbg, axis=1)
-            n_bad = int(np.sum(mahal > 16.919))
-            log.debug("IMU Mahalanobis: median %.3f max %.3f; %d/%d factors "
-                      "over chi2inv(0.95,9)=16.919", float(np.median(mahal)),
-                      float(mahal.max()), n_bad, len(mahal))
-        if stats_callback is not None:
-            # per-stage progress publication (the reference's 30 ms stats
-            # polling loop, vicalib-engine.cc:388-432; the fused solver runs
-            # a stage per device call, so stage boundaries are the cadence)
-            stats_callback({"stage": stage_name, "cost": float(info.cost),
-                            "iterations": int(info.iterations),
-                            "total_iterations": total_iters,
-                            "cam_rmse": np.asarray(info.cam_rmse),
-                            "wall_s": wall, "state": state})
-        if checkpoint_path:
-            from ..checkpoint import save_checkpoint
-            save_checkpoint(checkpoint_path, state, flags,
-                            meta={"stage": stage_name,
-                                  "cost": float(info.cost),
-                                  "iterations": int(info.iterations)})
+        pending.append((stage_name, raw, wall))
+
+        if not lazy:
+            info = materialize_info(raw)
+            log.info("stage %s done: cost %.6e rmse %s iters %d wall %.2fs",
+                     stage_name, info.cost, info.cam_rmse, info.iterations,
+                     time.time() - t_stage)
+            if full_inertial and log.isEnabledFor(logging.DEBUG):
+                # per-factor Mahalanobis distance of the whitened IMU
+                # residuals vs chi2inv(0.95, 9) = 16.919 (UpdateImuWeights'
+                # consistency log, vicalibrator.h:747-797)
+                from .residuals import imu_residuals
+                from .weights import imu_weights
+                W_dbg = imu_weights(state, solver.data.imu, sigmas[0],
+                                    sigmas[1])
+                r_dbg = np.asarray(imu_residuals(
+                    state, solver.data.imu, W_dbg, jnp.asarray(False)))
+                mahal = np.sum(r_dbg * r_dbg, axis=1)
+                n_bad = int(np.sum(mahal > 16.919))
+                log.debug("IMU Mahalanobis: median %.3f max %.3f; %d/%d "
+                          "factors over chi2inv(0.95,9)=16.919",
+                          float(np.median(mahal)), float(mahal.max()),
+                          n_bad, len(mahal))
+            if stats_callback is not None:
+                # per-stage progress publication (the reference's 30 ms
+                # stats polling loop, vicalib-engine.cc:388-432; the fused
+                # solver runs a stage per device call, so stage boundaries
+                # are the cadence)
+                stats_callback({"stage": stage_name,
+                                "cost": float(info.cost),
+                                "iterations": int(info.iterations),
+                                "cam_rmse": np.asarray(info.cam_rmse),
+                                "wall_s": wall, "state": state})
+            if checkpoint_path:
+                from ..checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, state, flags,
+                                meta={"stage": stage_name,
+                                      "cost": float(info.cost),
+                                      "iterations": int(info.iterations)})
 
         # stage advance (vicalibrator.h:976-1031)
         if flags.calibrate_imu:
@@ -275,6 +312,7 @@ def run_staged(state: CalibState, data: ProblemData,
             elif not flags.scale_active:
                 flags = flags.evolve(scale_active=True)
             elif do_remove_outliers and not outliers_removed:
+                info = materialize_info(pending[-1][1])
                 data = remove_outliers(state, data, info.cam_rmse,
                                        outlier_threshold)
                 solver = LMSolver(data, options, sigmas=sigmas, mesh=mesh)
@@ -283,12 +321,21 @@ def run_staged(state: CalibState, data: ProblemData,
                 break
         else:
             if do_remove_outliers and not outliers_removed:
+                info = materialize_info(pending[-1][1])
                 data = remove_outliers(state, data, info.cam_rmse,
                                        outlier_threshold)
                 solver = LMSolver(data, options, sigmas=sigmas, mesh=mesh)
                 outliers_removed = True
             else:
                 break
+
+    # materialize every stage's results (single device sync in lazy mode)
+    for stage_name, raw, wall in pending:
+        info = materialize_info(raw)
+        stages_run.append((stage_name, info.iterations, info.cost, wall))
+        total_iters += info.iterations
+        log.info("stage %-22s iters %3d cost %.6e rmse %s",
+                 stage_name, info.iterations, info.cost, info.cam_rmse)
 
     mse = info.cost / max(info.n_residuals, 1)
     covariance = None
