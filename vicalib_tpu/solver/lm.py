@@ -151,7 +151,14 @@ def fused_solve(data: ProblemData, state: CalibState, fmask, smask,
         W = _get_weights(data, state, seed_weight, use_cov_weights, sigmas)
         final_cost, cam_sq, cam_cnt = robust_costs(
             state, data, W, inertial_scale, rotation_only)
-        return state, final_cost, cam_sq, cam_cnt, it, done
+        # pack every scalar output into ONE flat vector: device->host
+        # transfers over the remote-TPU tunnel cost ~40 ms of latency EACH,
+        # so materializing 5 separate arrays per stage dominated wall clock.
+        info_vec = jnp.concatenate([
+            final_cost[None].astype(dtype), cam_sq.astype(dtype),
+            cam_cnt.astype(dtype),
+            jnp.asarray([it], dtype), jnp.asarray([done], dtype)])
+        return state, info_vec
 
 
 @partial(jax.jit, static_argnames=("options",))
@@ -172,11 +179,16 @@ def _device_problem(data: ProblemData) -> ProblemData:
 
 
 def materialize_info(raw) -> LMInfo:
-    """Convert a lazy solve's device outputs into an LMInfo (forces the
-    device sync; see LMSolver.solve(lazy=True))."""
-    final_cost, cam_sq, cam_cnt, it, done = raw
-    cam_sq = np.asarray(cam_sq)
-    cam_cnt = np.maximum(np.asarray(cam_cnt), 1.0)
+    """Convert a lazy solve's packed info vector into an LMInfo (forces the
+    device sync; see LMSolver.solve(lazy=True)).  ``raw`` is the (1+2C+2)
+    vector from fused_solve — ONE host transfer — or an already-pulled
+    numpy copy of it."""
+    vec = np.asarray(raw)
+    C = (len(vec) - 3) // 2
+    final_cost = vec[0]
+    cam_sq = vec[1:1 + C]
+    cam_cnt = np.maximum(vec[1 + C:1 + 2 * C], 1.0)
+    it, done = vec[-2], vec[-1]
     # Ceres-style per-camera "rmse": sqrt((1/2 sum |r|^2) / n_blocks)
     # (vicalibrator.h:959-971, Problem::Evaluate cost = 1/2 sum r^2)
     cam_rmse = np.sqrt(0.5 * cam_sq / cam_cnt)
@@ -218,12 +230,12 @@ class LMSolver:
             # the I*500 seed weight (vicalibrator.h:616)
             seed_weight = jnp.tile(jnp.eye(9, dtype=dtype) * 500.0,
                                    (K, 1, 1))
-        out = fused_solve(self.data, state, fmask, smask,
-                          jnp.asarray(inertial_scale, dtype),
-                          jnp.asarray(rotation_only, bool),
-                          jnp.asarray(use_cov_weights, bool), seed_weight,
-                          self.options, self.sigmas)
-        state, raw = out[0], out[1:]
+        state, raw = fused_solve(
+            self.data, state, fmask, smask,
+            jnp.asarray(inertial_scale, dtype),
+            jnp.asarray(rotation_only, bool),
+            jnp.asarray(use_cov_weights, bool), seed_weight,
+            self.options, self.sigmas)
         if lazy:
             return state, raw
         return state, materialize_info(raw)

@@ -97,6 +97,26 @@ def _spd_solve_small(A, B):
     return jnp.stack(x, axis=1)                            # (m, n, R)
 
 
+def _spd_solve_scaled(A, B):
+    """Batched SPD solve, robust in float32: symmetrize, Jacobi-rescale to
+    unit diagonal, then the unrolled Cholesky.
+
+    The cyclic-reduction levels produce Schur complements of an SPD matrix
+    (themselves SPD), but float32 level updates drift slightly asymmetric
+    and badly scaled — which is what made a naive unpivoted Cholesky produce
+    garbage steps near convergence (pivoted LU papered over it at ~300 us
+    per batched solve on TPU: each ``jnp.linalg.solve`` lowers to a
+    sequential-pivoting while loop).  Restoring symmetry + unit diagonal
+    before the factorization recovers Cholesky's unpivoted stability at
+    fused-VPU speed."""
+    A = 0.5 * (A + jnp.swapaxes(A, 1, 2))
+    d = jnp.maximum(jax.vmap(jnp.diag)(A), 1e-30)
+    s = 1.0 / jnp.sqrt(d)                                  # (m, n)
+    As = A * s[:, :, None] * s[:, None, :]
+    Bs = B * s[:, :, None]
+    return _spd_solve_small(As, Bs) * s[:, :, None]
+
+
 def tridiag_solve(D, U, B):
     """Solve the block-tridiagonal system A X = B by block cyclic reduction.
 
@@ -142,13 +162,9 @@ def tridiag_solve(D, U, B):
         L_e, L_o = split(L)
         R_e, R_o = split(Rr)
         B_e, B_o = split(B)
-        # one batched solve for everything the odd rows contribute.
-        # Pivoted LU, not the unrolled Cholesky: at tiny LM damping the
-        # scaled Schur-complement blocks get ill-conditioned enough in f32
-        # that unpivoted elimination produced garbage steps (observed as
-        # 3-4x iteration blowup in the inertial-rotation stage); batched
-        # 9x9 LU measures the same ~0.5 us/block on TPU.
-        sol = jnp.linalg.solve(D_o, jnp.concatenate([L_o, R_o, B_o], axis=2))
+        # one batched SPD solve for everything the odd rows contribute
+        sol = _spd_solve_scaled(D_o, jnp.concatenate([L_o, R_o, B_o],
+                                                     axis=2))
         DiL, DiR, DiB = sol[:, :, :n], sol[:, :, n:2 * n], sol[:, :, 2 * n:]
         levels.append((DiL, DiR, DiB))
         # odd row j-1 (global 2j-1) terms, shifted into kept-row alignment
@@ -163,7 +179,7 @@ def tridiag_solve(D, U, B):
         newR = -(R_e @ DiR)
         L, Rr = newL, newR
 
-    x = jnp.linalg.solve(D, B)
+    x = _spd_solve_scaled(D, B)
 
     for DiL, DiR, DiB in reversed(levels):
         # x currently holds the even rows of this level's system
@@ -222,7 +238,11 @@ def schur_solve(D, U, Hfs, Hss, gf, gs, damping=0.0):
     BtX = jnp.einsum("fis,fit->st", Hfs, X)                 # (S, S+1)
     S_red = Hss - BtX[:, :S]
     rhs_red = -gs + BtX[:, S]
-    dx_s = jnp.linalg.solve(S_red, rhs_red)
+    # SPD reduced system: Cholesky custom call beats pivoted LU's
+    # sequential while loop on TPU
+    S_sym = 0.5 * (S_red + S_red.T)
+    chol = jnp.linalg.cholesky(S_sym)
+    dx_s = jax.scipy.linalg.cho_solve((chol, True), rhs_red)
     dx_f = -X[:, :, S] - jnp.einsum("fis,s->fi", X[:, :, :S], dx_s)
     dx_f = dx_f * sf
     dx_s = dx_s * ss

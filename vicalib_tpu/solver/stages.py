@@ -329,9 +329,12 @@ def run_staged(state: CalibState, data: ProblemData,
             else:
                 break
 
-    # materialize every stage's results (single device sync in lazy mode)
-    for stage_name, raw, wall in pending:
-        info = materialize_info(raw)
+    # materialize every stage's results with ONE device->host transfer
+    # (each pull over the remote-TPU tunnel costs ~40 ms of latency, so
+    # stacking the per-stage packed info vectors and pulling once matters)
+    all_vecs = np.asarray(jnp.stack([raw for _, raw, _ in pending]))
+    for (stage_name, _, wall), vec in zip(pending, all_vecs):
+        info = materialize_info(vec)
         stages_run.append((stage_name, info.iterations, info.cost, wall))
         total_iters += info.iterations
         log.info("stage %-22s iters %3d cost %.6e rmse %s",
