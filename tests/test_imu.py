@@ -181,3 +181,60 @@ class TestBuffer:
         assert buf.has_range(0.1, 0.9)
         assert not buf.has_range(-0.5, 0.5)
         assert not buf.has_range(0.5, 1.5)
+
+
+class TestFactorizedIntegration:
+    """The O(log M) factorized RK4 chain must match the sequential scan."""
+
+    def _random_inputs(self, seed, with_degenerate=True):
+        rng = np.random.default_rng(seed)
+        M = 17
+        t = np.sort(rng.uniform(0.0, 0.4, M))
+        if with_degenerate:
+            t[5] = t[4]          # zero-length interval (window clipping)
+            t[11] = t[10]
+        g = rng.normal(0.0, 0.4, (M, 3))
+        a = rng.normal(0.0, 2.5, (M, 3))
+        q0 = rng.normal(0.0, 1.0, 4)
+        q0 /= np.linalg.norm(q0)
+        y0 = np.concatenate([rng.normal(0, 1, 3), q0, rng.normal(0, 0.5, 3)])
+        bg = rng.normal(0.0, 0.02, 3)
+        ba = rng.normal(0.0, 0.1, 3)
+        sf = 1.0 + rng.normal(0.0, 0.02, 6)
+        gw = np.array([0.1, -9.7, 0.3])
+        return tuple(jnp.asarray(x) for x in (y0, t, g, a, bg, ba, sf, gw))
+
+    def test_matches_sequential_scan(self):
+        from vicalib_tpu.imu import preintegrate as P
+        for seed in range(3):
+            args = self._random_inputs(seed)
+            y_seq = P.integrate_sequence_seq(*args)
+            y_fac = P.integrate_sequence(*args)
+            np.testing.assert_allclose(np.asarray(y_fac), np.asarray(y_seq),
+                                       rtol=0, atol=1e-12)
+
+    def test_tangent_jacobians_match(self):
+        """Directional derivatives along the manifold (what the solver uses)
+        agree; off-manifold d/dq0 components legitimately differ."""
+        from vicalib_tpu.geometry import se3
+        from vicalib_tpu.imu import preintegrate as P
+        y0, t, g, a, bg, ba, sf, gw = self._random_inputs(7)
+
+        def end_of(fn, dx, db, dt_off):
+            T = se3.retract((y0[3:7], y0[0:3]), dx[:6])
+            y = jnp.concatenate([T[1], T[0], y0[7:10] + dx[6:9]])
+            tq = t + dt_off          # time-offset shifts the window
+            return fn(y, tq, g, a, bg + db, ba, sf, gw)
+
+        z9 = jnp.zeros(9, t.dtype)
+        z3 = jnp.zeros(3, t.dtype)
+        z1 = jnp.zeros((), t.dtype)
+        for argnum in (0, 1, 2):
+            J_seq = jax.jacrev(
+                lambda *dx: end_of(P.integrate_sequence_seq, *dx),
+                argnums=argnum)(z9, z3, z1)
+            J_fac = jax.jacrev(
+                lambda *dx: end_of(P.integrate_sequence, *dx),
+                argnums=argnum)(z9, z3, z1)
+            np.testing.assert_allclose(np.asarray(J_fac), np.asarray(J_seq),
+                                       rtol=1e-7, atol=1e-9)

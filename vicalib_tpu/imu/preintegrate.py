@@ -120,8 +120,12 @@ def virtual_sequence(win_times, win_gyro, win_accel, start, end, time_offset):
     return seq_times, seq_gyro, seq_accel
 
 
-def integrate_sequence(y0, seq_times, seq_gyro, seq_accel, bg, ba, sf, g_w):
-    """Chain RK4 across the sequence (IntegrateResidualJet, :199-227)."""
+def integrate_sequence_seq(y0, seq_times, seq_gyro, seq_accel, bg, ba, sf,
+                           g_w):
+    """Chain RK4 across the sequence by sequential ``lax.scan``
+    (IntegrateResidualJet, :199-227).  Reference implementation — the
+    production path is the factorized :func:`integrate_sequence` below,
+    which computes the identical discrete update in O(log M) depth."""
 
     def step(y, inp):
         t0, t1, zg0, zg1, za0, za1 = inp
@@ -133,6 +137,92 @@ def integrate_sequence(y0, seq_times, seq_gyro, seq_accel, bg, ba, sf, g_w):
               seq_accel[:-1], seq_accel[1:])
     y_end, _ = jax.lax.scan(step, y0, inputs)
     return y_end
+
+
+def _rk4_step_locals(t0, t1, zg0, zg1, za0, za1, bg, ba, sf):
+    """Measurement-only RK4 step coefficients (one interval).
+
+    The sequential RK4 step (:func:`integrate_interval`) factorizes EXACTLY:
+    because the world-frame increments it applies are conjugates of
+    body-frame quantities (exp(R(q) w dt) * q == q * exp(w dt)), every
+    stage's state dependence reduces to a left factor of the entry state, so
+
+        q_{k+1} = q_k * gamma_k
+        v_{k+1} = v_k + R(q_k) b_k          - g_w dt_k
+        t_{k+1} = t_k + v_k dt_k + R(q_k) e_k - g_w dt_k^2/2
+
+    with (gamma_k, b_k, e_k) functions of the interval's measurements,
+    biases, and scale factors only.  This turns the integration chain into
+    batched per-step locals + a prefix composition (see
+    :func:`integrate_sequence`) — same arithmetic as the scan, parallel
+    depth O(log M) instead of O(M).
+    """
+    dt = t1 - t0
+    zero = jnp.abs(dt) < 1e-12
+    safe_dt = jnp.where(zero, 1.0, dt)
+
+    sg, sa = sf[:3], sf[3:]
+    w1 = zg0 * sg + bg
+    wm = 0.5 * (zg0 + zg1) * sg + bg
+    we = zg1 * sg + bg
+    a1 = za0 * sa + ba
+    am = 0.5 * (za0 + za1) * sa + ba
+    ae = za1 * sa + ba
+
+    e1 = so3.exp(w1 * (safe_dt * 0.5))
+    w2 = so3.rotate(e1, wm)
+    e2 = so3.exp(w2 * (safe_dt * 0.5))
+    w3 = so3.rotate(e2, wm)
+    e3 = so3.exp(w3 * safe_dt)
+    w4 = so3.rotate(e3, we)
+    w_tot = (w1 + 2.0 * w2 + 2.0 * w3 + w4) / 6.0
+    gamma = so3.exp(w_tot * safe_dt)
+
+    a2 = so3.rotate(e1, am)
+    a3 = so3.rotate(e2, am)
+    a4 = so3.rotate(e3, ae)
+    b = (a1 + 2.0 * a2 + 2.0 * a3 + a4) * (safe_dt / 6.0)
+    e = (a1 + a2 + a3) * (safe_dt * safe_dt / 6.0)
+
+    ident = jnp.zeros_like(gamma).at[3].set(1.0)
+    gamma = jnp.where(zero, ident, gamma)
+    z3 = jnp.zeros_like(b)
+    return (gamma, jnp.where(zero, z3, b), jnp.where(zero, z3, e),
+            jnp.where(zero, 0.0, dt))
+
+
+def integrate_sequence(y0, seq_times, seq_gyro, seq_accel, bg, ba, sf, g_w):
+    """Chain RK4 across the sequence — factorized, O(log M) parallel depth.
+
+    Identical discrete math to :func:`integrate_sequence_seq` (same RK4
+    stages, same interpolation), reorganized as batched per-step locals +
+    an associative quaternion prefix scan + weighted sums.  The sequential
+    scan's forward+VJP while-loops dominated the LM iteration on TPU.
+    """
+    t0_, q0, v0 = y0[0:3], y0[3:7], y0[7:10]
+
+    gamma, b, e, dt = jax.vmap(
+        _rk4_step_locals, in_axes=(0, 0, 0, 0, 0, 0, None, None, None))(
+        seq_times[:-1], seq_times[1:], seq_gyro[:-1], seq_gyro[1:],
+        seq_accel[:-1], seq_accel[1:], bg, ba, sf)
+
+    # prefix rotations BEFORE each step: q_k = q0 * gamma_1 ... gamma_{k-1}
+    P = jax.lax.associative_scan(so3.quat_mul, gamma, axis=0)   # inclusive
+    ident = jnp.zeros_like(P[:1]).at[0, 3].set(1.0)
+    P_pre = jnp.concatenate([ident, P[:-1]], axis=0)            # exclusive
+    q_k = so3.quat_mul(q0[None, :], P_pre)                      # (M-1, 4)
+
+    T = jnp.sum(dt)
+    tau = T - jnp.cumsum(dt)                 # time remaining AFTER step k
+    Rb = so3.rotate(q_k, b)                  # (M-1, 3)
+    Re_tb = so3.rotate(q_k, e + tau[:, None] * b)
+
+    q_end = so3.quat_mul(q0, P[-1])
+    v_end = v0 + jnp.sum(Rb, axis=0) - g_w * T
+    # gravity double integral: sum(dt^2/2 + tau*dt) telescopes to T^2/2
+    g_quad = jnp.sum(0.5 * dt * dt + tau * dt)
+    t_end = (t0_ + v0 * T + jnp.sum(Re_tb, axis=0) - g_w * g_quad)
+    return jnp.concatenate([t_end, q_end, v_end])
 
 
 def imu_factor_residual(T_wx1, v1, T_wx2, v2, win_times, win_gyro, win_accel,
