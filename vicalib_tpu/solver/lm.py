@@ -44,6 +44,13 @@ class LMOptions:
     lam_down: float = 3.0
     lam_min: float = 1e-12
     lam_max: float = 1e10
+    # Damping candidates tried per iteration, as multiples of the current
+    # lambda.  The assembled system (jacobians — the expensive part) is
+    # shared; each candidate adds only a structured solve + a forward cost
+    # evaluation.  A wide spread turns the classic LM reject-and-regrow
+    # cycle (each reject previously cost a full re-assembly) into a single
+    # iteration that picks the best damping directly.
+    lam_factors: tuple = (0.2, 1.0, 30.0)
     # IMU covariance-whitening refresh cadence (iterations).  The reference
     # recomputes the weights every Ceres iteration (vicalibrator.h:690-692);
     # they vary slowly with the state, so refreshing every few iterations is
@@ -64,33 +71,50 @@ class LMInfo:
 
 def _lm_step(data, state, lam, nu, weight_sqrt, fmask, smask, inertial_scale,
              rotation_only, options: LMOptions):
-    """One damped step with Nielsen gain-ratio lambda adaptation.
+    """One multi-candidate damped step with gain-ratio lambda adaptation.
 
-    rho = actual / predicted cost reduction; accepted steps shrink lambda by
+    The normal equations are assembled ONCE (jacobians dominate the cost);
+    then ``options.lam_factors`` damping candidates are solved and
+    trial-evaluated in a single batched pass, and the best admissible trial
+    is taken.  rho = actual / predicted reduction of the chosen candidate;
+    accepted steps move lambda to the candidate shrunk by Nielsen's
     max(1/3, 1 - (2 rho - 1)^3), rejected steps grow it by the doubling
-    factor nu — far fewer iterations than fixed up/down factors (this is the
-    trust-region-quality policy Ceres's DOGLEG gets internally)."""
+    factor nu.  Returns pred_max (the best model-predicted reduction among
+    candidates) so callers can stop when even the model promises less than
+    the function tolerance — the analog of Ceres terminating on tiny trust
+    region steps."""
     dtype = state.t_wk.dtype
     D, U, Hfs, Hss, gf, gs, cost, _ = assemble(
         state, data, weight_sqrt, fmask, smask, inertial_scale,
         rotation_only)
-    dxf, dxs, pred_red = schur_solve(D, U, Hfs, Hss, gf, gs, damping=lam)
-    dxf = dxf * fmask
-    dxs = dxs * smask
-    trial = retract(state, data.layout, dxf, dxs)
-    trial_cost, _, _ = robust_costs(
-        trial, data, weight_sqrt, inertial_scale, rotation_only)
+    lams = jnp.stack([lam * jnp.asarray(f, dtype)
+                      for f in options.lam_factors])
+    dxf_b, dxs_b, pred_b = jax.vmap(
+        lambda l: schur_solve(D, U, Hfs, Hss, gf, gs, damping=l))(lams)
+    trial_b = jax.vmap(
+        lambda df, ds: retract(state, data.layout, df * fmask, ds * smask))(
+        dxf_b, dxs_b)
+    cost_b = jax.vmap(
+        lambda s: robust_costs(s, data, weight_sqrt, inertial_scale,
+                               rotation_only)[0])(trial_b)
+    valid = pred_b > 0
+    cand = jnp.where(valid, cost_b, jnp.inf)
+    j = jnp.argmin(cand)
+    trial_cost = cand[j]
+    pred_red = pred_b[j]
+    accept = trial_cost < cost
     rho = (cost - trial_cost) / jnp.maximum(pred_red, 1e-20)
-    accept = (trial_cost < cost) & (pred_red > 0)
     new_state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(accept, a, b), trial, state)
+        lambda tb, b: jnp.where(accept, tb[j], b), trial_b, state)
     shrink = jnp.maximum(jnp.asarray(1.0 / 3.0, dtype),
                          1.0 - (2.0 * rho - 1.0) ** 3)
-    new_lam = jnp.where(accept, lam * shrink, lam * nu)
+    new_lam = jnp.where(accept, lams[j] * shrink, lam * nu)
     new_lam = jnp.clip(new_lam, options.lam_min, options.lam_max)
     new_nu = jnp.where(accept, jnp.asarray(2.0, dtype), nu * 2.0)
     gnorm = jnp.sqrt(jnp.sum(gf * gf) + jnp.sum(gs * gs))
-    return new_state, new_lam, new_nu, cost, trial_cost, accept, gnorm
+    pred_max = jnp.max(jnp.where(valid, pred_b, 0.0))
+    return (new_state, new_lam, new_nu, cost, trial_cost, accept, gnorm,
+            pred_max)
 
 
 def _get_weights(data, state, seed_weight, use_cov_weights, sigmas,
@@ -133,12 +157,15 @@ def fused_solve(data: ProblemData, state: CalibState, fmask, smask,
             W = _get_weights(data, state, seed_weight, use_cov_weights,
                              sigmas, carry_weight=W_prev, refresh=refresh)
             (new_state, new_lam, new_nu, cost, trial_cost, accept,
-             gnorm) = _lm_step(
+             gnorm, pred_max) = _lm_step(
                 data, state, lam, nu, W, fmask, smask, inertial_scale,
                 rotation_only, options)
-            converged = (accept
-                         & ((cost - trial_cost)
-                            < options.function_tolerance * cost))
+            ftol_gate = options.function_tolerance * cost
+            converged = accept & ((cost - trial_cost) < ftol_gate)
+            # even the best candidate's MODEL-predicted reduction is below
+            # tolerance: no step from here can pass ftol — stop instead of
+            # burning reject iterations growing lambda
+            converged |= (~accept) & (pred_max < ftol_gate)
             converged |= (gnorm > 0) & (gnorm < options.gradient_tolerance)
             converged |= lam >= options.lam_max
             return (new_state, new_lam, new_nu, W,
@@ -168,8 +195,8 @@ def lm_step_jit(data, state, lam, weight_sqrt, fmask, smask, inertial_scale,
     with jax.default_matmul_precision("highest"):
         nu = jnp.asarray(2.0, state.t_wk.dtype)
         (new_state, new_lam, _, cost, trial_cost, accept,
-         gnorm) = _lm_step(data, state, lam, nu, weight_sqrt, fmask, smask,
-                           inertial_scale, rotation_only, options)
+         gnorm, _) = _lm_step(data, state, lam, nu, weight_sqrt, fmask,
+                              smask, inertial_scale, rotation_only, options)
         return new_state, new_lam, cost, trial_cost, accept, gnorm
 
 
