@@ -11,10 +11,12 @@
 // C ABI only (consumed via ctypes); no external dependencies.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -459,6 +461,40 @@ int64_t vn_match_grid(const double* centers, const double* radii,
     if (gcol[i] >= 0) ++n_matched;
   }
   return n_matched;
+}
+
+// Batch association over F frames with a thread pool — the config-5 scale
+// path (10k+ frames x 4 cameras): per-frame matching is independent, so
+// frames are striped over hardware threads (ctypes releases the GIL for the
+// whole call).
+//   centers: (F, K, 2); radii: (F, K); valid: (F, K) uint8
+//   out_coords: (F, K, 2) int64; out_n: (F,) int64 n_matched or -1
+//   nthreads <= 0 selects hardware_concurrency
+void vn_match_grid_batch(const double* centers, const double* radii,
+                         const uint8_t* valid, int64_t F, int64_t K,
+                         const int32_t* pattern, int rows, int cols,
+                         int min_matched, double min_agreement,
+                         int64_t* out_coords, int64_t* out_n, int nthreads) {
+  if (nthreads <= 0) {
+    nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads <= 0) nthreads = 4;
+  }
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t f = next.fetch_add(1);
+      if (f >= F) break;
+      out_n[f] = vn_match_grid(centers + 2 * K * f, radii + K * f,
+                               valid + K * f, K, pattern, rows, cols,
+                               min_matched, min_agreement,
+                               out_coords + 2 * K * f);
+    }
+  };
+  std::vector<std::thread> pool;
+  int nt = static_cast<int>(std::min<int64_t>(nthreads, F));
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -20,3 +20,21 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", (
     "test suite must run on CPU; got %s" % jax.devices())
+
+
+# The full suite compiles dozens of large fused-solver programs in one
+# process; late-suite XLA:CPU compiles have aborted (SIGABRT) from
+# accumulated compiler/executable memory on this 2-CPU box.  Free compiled
+# executables and tracing caches after each module, and keep a persistent
+# compilation cache so re-used programs reload cheaply instead of
+# recompiling.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()

@@ -84,6 +84,65 @@ def test_engine_end_to_end_vi(dataset, tmp_path):
     np.testing.assert_allclose(cams[0]["params"], est_params, atol=1e-9)
 
 
+def test_engine_device_time_clock_skew(dataset, tmp_path):
+    """-nouse_system_time with a 0.5 s device-clock skew between camera and
+    IMU: the engine must initialize the time offset from the first IMU
+    sample (vicalib-task.cc:633-653) and recover the true offset.  The
+    target pattern is loaded from a file (-grid_file: the printed-target
+    escape hatch) rather than regenerated from the seed."""
+    root, sim_cfg, data = dataset
+    skew = 0.5
+    imu_dir = tmp_path / "imu_skewed"
+    imu_dir.mkdir()
+    np.savetxt(str(imu_dir / "accel.txt"), data.accel)
+    np.savetxt(str(imu_dir / "gyro.txt"), data.gyro)
+    # two-column timestamp.txt: device clock (skewed), system clock (true)
+    np.savetxt(str(imu_dir / "timestamp.txt"),
+               np.stack([data.imu_times - skew, data.imu_times], axis=1))
+    # dump the fixture's pattern bits as a real target's grid file
+    grid_file = tmp_path / "target_bits.csv"
+    np.savetxt(str(grid_file), sim_cfg.target.grid, fmt="%d", delimiter=",")
+
+    cfg = VicalibConfig(
+        cam=f"file://{root}/images/*.pgm",
+        imu=f"csv://{imu_dir}",
+        models="linear",
+        use_only_when_static=False,
+        calibrate_imu=True,
+        use_system_time=False,
+        grid_file=str(grid_file),
+        grid_spacing=sim_cfg.target.spacing,
+        output=str(tmp_path / "cameras.xml"),
+    )
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = VicalibEngine(cfg).run()
+    finally:
+        os.chdir(cwd)
+    assert result.success, result.stats
+    # recovered total offset (imu device clock -> image clock) == skew
+    assert abs(result.stats.ts - skew) < 1e-3, result.stats.ts
+    assert result.stats.reprojection_error[0] < 0.1
+
+
+def test_imu_source_system_time_column(dataset, tmp_path):
+    """Two-column timestamp.txt: column 0 device clock, column 1 system."""
+    _, _, data = dataset
+    d = tmp_path / "imu2"
+    d.mkdir()
+    np.savetxt(str(d / "accel.txt"), data.accel)
+    np.savetxt(str(d / "gyro.txt"), data.gyro)
+    np.savetxt(str(d / "timestamp.txt"),
+               np.stack([data.imu_times - 1.5, data.imu_times], axis=1))
+    dev = sources.parse_imu_uri(f"csv://{d}", use_system_time=False)
+    sys_ = sources.parse_imu_uri(f"csv://{d}", use_system_time=True)
+    np.testing.assert_allclose(dev.times, data.imu_times - 1.5)
+    np.testing.assert_allclose(sys_.times, data.imu_times)
+
+
 def test_engine_visual_only(dataset, tmp_path):
     root, sim_cfg, data = dataset
     cfg = VicalibConfig(

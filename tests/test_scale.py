@@ -63,6 +63,23 @@ def test_large_frame_count():
                                cfg.cameras[0].params[:4], atol=1e-3)
 
 
+def test_4096_frame_sharded_staged():
+    """Config-5-class scale: 4096 frames through the SPMD fused staged
+    solver on the 8-device CPU mesh — the long-chain cyclic reduction and
+    sharded assembly at real scale."""
+    from vicalib_tpu.dist import make_mesh
+
+    cfg = sim.default_mono_config(n_frames=4096, model="linear",
+                                  frame_rate=40.0)
+    data_sim = sim.simulate(cfg)
+    data, state = problem_from_sim(data_sim)
+    result = run_staged(state, data, StageFlags(calibrate_imu=False),
+                        mesh=make_mesh(8))
+    assert result.cam_rmse[0] < 1e-4
+    np.testing.assert_allclose(np.asarray(result.state.intr[0][:4]),
+                               cfg.cameras[0].params[:4], atol=1e-3)
+
+
 def test_sharded_four_camera_matches_single():
     """Sharded assembly parity on the multi-camera problem (8 CPU devices)."""
     from vicalib_tpu.dist import ShardedLMStep, make_mesh
@@ -83,7 +100,8 @@ def test_sharded_four_camera_matches_single():
         data, state, lam, W, fm, sm, zero, rot)
     sh = ShardedLMStep(data, mesh=make_mesh(8))
     step = sh.make_step()
-    s8, _, cost8, trial8, _ = step(state, lam, sh.sharded_weight(W), fm, sm,
-                                   zero, rot)
+    nu = jnp.asarray(2.0)
+    s8, _, _, cost8, trial8, _, _, _ = step(
+        state, lam, nu, sh.sharded_weight(W), fm, sm, zero, rot)
     np.testing.assert_allclose(float(cost1), float(cost8), rtol=1e-12)
     np.testing.assert_allclose(float(trial1), float(trial8), rtol=1e-8)

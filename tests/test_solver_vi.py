@@ -95,3 +95,35 @@ def test_stereo_vi_time_offset():
         assert result.cam_rmse[c] < 0.1, result.cam_rmse
     est_off = float(result.state.time_offset)
     assert abs(est_off - 0.008) < 1e-4, est_off
+
+
+def test_unsynchronized_clocks_half_second_skew():
+    """Real-rig clock handling (-nouse_system_time): camera and IMU device
+    clocks differ by 0.5 s — far outside the IMU window slack — so the
+    engine-style init (align first IMU sample with first frame,
+    vicalib-task.cc:633-653) must seed the offset; the solver then refines
+    it to the true value."""
+    skew = 0.5
+    cfg = sim.default_mono_config(
+        n_frames=30, model="linear", imu=True, imu_rate=100.0,
+        gyro_bias=GYRO_BIAS, time_offset=skew)
+    data_sim = sim.simulate(cfg)
+
+    # the coarse init the engine computes from the raw streams: first-sample
+    # alignment (0.15 s off here — outside the 0.1 s window slack AND the LM
+    # basin) plus the gyro/vision raw-stream refinement
+    guess = float(data_sim.frame_times[0]) - float(data_sim.imu_times[0])
+    assert abs(guess - skew) < 0.2, "sim streams should start near-together"
+
+    data, state = problem_from_sim(data_sim, use_imu=True, window_slack=0.1,
+                                   time_offset_guess=guess,
+                                   refine_time_offset=True)
+    result = run_staged(state, data,
+                        StageFlags(calibrate_imu=True,
+                                   optimize_time_offset=True))
+    est_off = float(result.state.time_offset)
+    assert abs(est_off - skew) < 1e-4, est_off
+    true_T = (jnp.asarray(cfg.cameras[0].T_ck[0]),
+              jnp.asarray(cfg.cameras[0].T_ck[1]))
+    assert t_ck_error(result.state, 0, true_T) < 2e-3
+    assert result.cam_rmse[0] < 0.1

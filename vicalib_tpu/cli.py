@@ -58,6 +58,16 @@ def main(argv=None) -> int:
         format="%(levelname).1s %(name)s: %(message)s")
     log = logging.getLogger("vicalib")
 
+    if cfg.coordinator_address:
+        # join the multi-host runtime before any jax computation; the mesh
+        # then spans every process's devices (dist/multihost.py)
+        from .dist import multihost
+        multihost.initialize(cfg.coordinator_address, cfg.num_processes,
+                             cfg.process_id)
+        import jax
+        if cfg.n_shards <= 1:
+            cfg.n_shards = jax.device_count()
+
     if not cfg.cam:
         if cfg.output_pattern_file:
             from .engine import make_grid

@@ -24,6 +24,7 @@ class VicalibConfig:
     grid_spacing: float = 0.01355
     grid_seed: int = 71
     grid_preset: str = ""
+    grid_file: str = ""              # load a printed target's 0/1 bitmap
     grid_large_rad: float = 0.00423
     grid_small_rad: float = 0.00283
     output_pattern_file: str = ""
@@ -88,6 +89,11 @@ class VicalibConfig:
     # --- framework-native knobs (no reference analog)
     dtype: str = "float64"          # solver precision ("float32" on TPU)
     n_shards: int = 0               # 0 = single device
+    # multi-host runtime (dist/multihost.py): set all three on every
+    # process; n_shards then defaults to the global device count
+    coordinator_address: str = ""   # "host0:port" of process 0
+    num_processes: int = 0
+    process_id: int = -1
     frame_rate_hint: float = 10.0   # for sources without timestamps
     compute_covariance: bool = False  # reference: COMPUTE_VICALIB_COVARIANCE
     checkpoint_file: str = ""       # native mid-solve checkpoint (npz)

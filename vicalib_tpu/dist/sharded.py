@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..solver.assemble import ProblemData, assemble, robust_costs
+from ..solver.lm import LMOptions, candidate_lams, select_candidate
 from ..solver.problem import retract
 from ..solver.residuals import CameraObs, ImuFactors
 from ..solver.schur import schur_solve
@@ -45,20 +46,29 @@ def shard_problem_arrays(data: ProblemData, mesh) -> ProblemData:
     n = mesh.devices.size
     sh = NamedSharding(mesh, P(SHARD_AXIS))
 
-    def put(a, pad_spec):
+    def put(a):
         return jax.device_put(pad_to_multiple(np.asarray(a), n), sh)
 
-    obs = [CameraObs(frame_idx=put(o.frame_idx, n),
-                     p_w=put(o.p_w, n), p_c=put(o.p_c, n),
-                     valid=put(o.valid, n)) for o in data.obs]
+    # keep the static fast-path aux data (points_per_frame / consecutive)
+    # whenever sharding needs no padding, so SPMD keeps the frame-major
+    # MXU assembly path instead of falling back to segment_sum scatters
+    obs = [CameraObs(frame_idx=put(o.frame_idx),
+                     p_w=put(o.p_w), p_c=put(o.p_c),
+                     valid=put(o.valid),
+                     points_per_frame=(o.points_per_frame
+                                       if len(o.frame_idx) % n == 0
+                                       else None))
+           for o in data.obs]
     imu = None
     if data.imu is not None:
         im = data.imu
         imu = ImuFactors(
-            win_times=put(im.win_times, n), win_gyro=put(im.win_gyro, n),
-            win_accel=put(im.win_accel, n), start=put(im.start, n),
-            end=put(im.end, n), has_meas=put(im.has_meas, n),
-            frame_i=put(im.frame_i, n))
+            win_times=put(im.win_times), win_gyro=put(im.win_gyro),
+            win_accel=put(im.win_accel), start=put(im.start),
+            end=put(im.end), has_meas=put(im.has_meas),
+            frame_i=put(im.frame_i),
+            consecutive=im.consecutive and len(im.start) % n == 0,
+            slack=im.slack)
     return ProblemData(obs=obs, imu=imu, layout=data.layout,
                        n_frames=data.n_frames)
 
@@ -137,11 +147,15 @@ class ShardedLMStep:
     """One jitted LM step with mesh-sharded assembly.
 
     Weight matrices for IMU factors are passed sharded alongside the factor
-    arrays.  The step function signature matches LMSolver._step_impl but runs
-    the assembly under shard_map with psum reduction.
+    arrays.  The step runs assembly + per-candidate trial costs under
+    shard_map with psum reduction, then feeds them through the SAME
+    multi-candidate accept/reject policy as the production solver
+    (solver.lm.select_candidate) — the two paths cannot diverge.
     """
 
-    def __init__(self, data: ProblemData, mesh=None, n_shards=None):
+    def __init__(self, data: ProblemData, mesh=None, n_shards=None,
+                 options: LMOptions = LMOptions()):
+        self.options = options
         self.mesh = mesh if mesh is not None else make_mesh(n_shards)
         self.n_shards = self.mesh.devices.size
         self.layout = data.layout
@@ -175,9 +189,13 @@ class ShardedLMStep:
                            n_frames=self.n_frames)
 
     def make_step(self):
+        from .multihost import global_shard
+
         mesh = self.mesh
-        data_tree = jax.tree_util.tree_map(jnp.asarray,
-                                           self._shard_data_pytree())
+        # leading-axis sharded placement over the (possibly multi-host) mesh
+        data_tree = jax.tree_util.tree_map(
+            lambda a: global_shard(mesh, np.asarray(a)),
+            self._shard_data_pytree())
         shard_spec = jax.tree_util.tree_map(lambda _: P(SHARD_AXIS), data_tree)
 
         def local_assemble(state, weight_sqrt, fmask, smask, inertial_scale,
@@ -195,16 +213,18 @@ class ShardedLMStep:
             return red(D), red(U), red(Hfs), red(Hss), red(gf), red(gs), \
                 red(cost)
 
-        def local_cost(state, weight_sqrt, inertial_scale, rotation_only,
-                       tree):
+        def local_cost_batched(states_b, weight_sqrt, inertial_scale,
+                               rotation_only, tree):
+            # states_b: candidate-batched trial states (replicated); cost of
+            # each candidate over the LOCAL shard, psum-reduced
             tree = jax.tree_util.tree_map(lambda a: a[0], tree)
             if weight_sqrt is not None and self.has_imu:
                 weight_sqrt = weight_sqrt[0]
             local = self._local_problem(tree)
-            cost, cam_sq, cam_cnt = robust_costs(
-                state, local, weight_sqrt, inertial_scale, rotation_only)
-            red = lambda x: jax.lax.psum(x, SHARD_AXIS)
-            return red(cost), red(cam_sq), red(cam_cnt)
+            costs = jax.vmap(
+                lambda s: robust_costs(s, local, weight_sqrt, inertial_scale,
+                                       rotation_only)[0])(states_b)
+            return jax.lax.psum(costs, SHARD_AXIS)
 
         wspec = P(SHARD_AXIS) if self.has_imu else P()
 
@@ -213,43 +233,55 @@ class ShardedLMStep:
             in_specs=(P(), wspec, P(), P(), P(), P(), shard_spec),
             out_specs=P(), check_vma=False)
         cost_sharded = jax.shard_map(
-            local_cost, mesh=mesh,
+            local_cost_batched, mesh=mesh,
             in_specs=(P(), wspec, P(), P(), shard_spec),
             out_specs=P(), check_vma=False)
 
         layout = self.layout
+        options = self.options
 
         @jax.jit
-        def step(state, lam, weight_sqrt, fmask, smask, inertial_scale,
+        def step_impl(state, lam, nu, weight_sqrt, fmask, smask,
+                      inertial_scale, rotation_only, tree):
+            with jax.default_matmul_precision("highest"):
+                D, U, Hfs, Hss, gf, gs, cost = assemble_sharded(
+                    state, weight_sqrt, fmask, smask, inertial_scale,
+                    rotation_only, tree)
+                lams = candidate_lams(lam, options, cost.dtype)
+                dxf_b, dxs_b, pred_b = jax.vmap(
+                    lambda l: schur_solve(D, U, Hfs, Hss, gf, gs,
+                                          damping=l))(lams)
+                trial_b = jax.vmap(
+                    lambda df, ds: retract(state, layout, df * fmask,
+                                           ds * smask))(dxf_b, dxs_b)
+                cost_b = cost_sharded(trial_b, weight_sqrt, inertial_scale,
+                                      rotation_only, tree)
+                return select_candidate(state, trial_b, cost, cost_b, pred_b,
+                                        lams, lam, nu, gf, gs, options)
+
+        def step(state, lam, nu, weight_sqrt, fmask, smask, inertial_scale,
                  rotation_only):
-            D, U, Hfs, Hss, gf, gs, cost = assemble_sharded(
-                state, weight_sqrt, fmask, smask, inertial_scale,
-                rotation_only, data_tree)
-            dxf, dxs, _ = schur_solve(D, U, Hfs, Hss, gf, gs, damping=lam)
-            dxf = dxf * fmask
-            dxs = dxs * smask
-            trial = retract(state, layout, dxf, dxs)
-            trial_cost, _, _ = cost_sharded(
-                trial, weight_sqrt, inertial_scale, rotation_only, data_tree)
-            accept = trial_cost < cost
-            new_state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(accept, a, b), trial, state)
-            new_lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-12),
-                                jnp.minimum(lam * 4.0, 1e10))
-            return new_state, new_lam, cost, trial_cost, accept
+            # data passed as an argument (multi-host arrays span
+            # non-addressable devices and cannot be jit-closure constants)
+            return step_impl(state, lam, nu, weight_sqrt, fmask, smask,
+                             inertial_scale, rotation_only, data_tree)
 
         self._step = step
         return step
 
     def sharded_weight(self, weight_sqrt):
-        """Reshape (K, 9, 9) weights to the sharded (n, K/n, 9, 9) layout."""
+        """Reshape (K, 9, 9) weights to the sharded (n, K/n, 9, 9) layout,
+        placed over the (possibly multi-host) mesh."""
+        from .multihost import global_shard
+
         if weight_sqrt is None or not self.has_imu:
             return weight_sqrt  # replicated (unused without IMU factors)
         K = len(self.base.imu.start)
         per = -(-K // self.n_shards)
         pad = self.n_shards * per - K
-        w = jnp.concatenate(
-            [weight_sqrt,
-             jnp.tile(jnp.eye(9, dtype=weight_sqrt.dtype)[None],
-                      (pad, 1, 1))], axis=0)
-        return w.reshape(self.n_shards, per, 9, 9)
+        w = np.concatenate(
+            [np.asarray(weight_sqrt),
+             np.tile(np.eye(9, dtype=np.asarray(weight_sqrt).dtype)[None],
+                     (pad, 1, 1))], axis=0)
+        return global_shard(self.mesh,
+                            w.reshape(self.n_shards, per, 9, 9))

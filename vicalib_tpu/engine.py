@@ -54,15 +54,17 @@ def _detect_all(images, target, cfg, max_conics=512):
                          min_density=cfg.conic_min_density,
                          min_aspect=cfg.conic_min_aspect)
 
-    # chunk frames to bound memory; the fused Pallas threshold+label kernel
-    # runs on TPU, the portable XLA path elsewhere (backend="auto")
+    # chunk frames to bound device memory (config 5 is 10k+ frames — the
+    # full f32 stack would be gigabytes): each chunk is uploaded, detected,
+    # and its outputs pulled back before the next upload.  The fused Pallas
+    # threshold+label kernel runs on TPU, the portable XLA path elsewhere.
     chunk = 32
     outs = []
-    imgs = jnp.asarray(np.stack(images), jnp.float32)
     for i in range(0, F, chunk):
+        imgs = jnp.asarray(np.stack(images[i:i + chunk]), jnp.float32)
         outs.append(jax.tree_util.tree_map(
             np.asarray, find_conics_batch(
-                imgs[i:i + chunk], params,
+                imgs, params,
                 at_threshold=cfg.at_threshold,
                 at_window_ratio=cfg.at_window_ratio,
                 black_on_white=cfg.black_on_white)))
@@ -71,14 +73,27 @@ def _detect_all(images, target, cfg, max_conics=512):
     pixels = np.zeros((F, P, 2))
     visible = np.zeros((F, P), dtype=bool)
     conic_rows = []
+
+    # grid association: the threaded native batch matcher when available
+    # (frames striped over hardware threads, GIL released for the whole
+    # call); per-frame python matcher otherwise
+    from .io import native as native_io
+    batch = native_io.match_grid_batch(det["center"], det["radius"],
+                                       det["valid"], target.grid)
     for k in range(F):
-        m = match_target(det["center"][k], det["radius"][k],
-                         det["valid"][k], target)
-        if not m.ok:
-            continue
-        sel = m.grid_coords[:, 0] >= 0
-        gidx = (m.grid_coords[sel, 1] * target.cols
-                + m.grid_coords[sel, 0])
+        if batch is not None:
+            if int(batch[0][k]) < 0:
+                continue
+            grid_coords = batch[1][k]
+        else:
+            m = match_target(det["center"][k], det["radius"][k],
+                             det["valid"][k], target)
+            if not m.ok:
+                continue
+            grid_coords = m.grid_coords
+        sel = grid_coords[:, 0] >= 0
+        gidx = (grid_coords[sel, 1] * target.cols
+                + grid_coords[sel, 0])
         pixels[k, gidx] = det["center"][k][sel]
         visible[k, gidx] = True
         if cfg.output_conics:
@@ -91,8 +106,13 @@ def _detect_all(images, target, cfg, max_conics=512):
 
 
 def make_grid(cfg: VicalibConfig) -> grid_mod.TargetGrid:
-    """CreateGrid (vicalib-engine.cc:453-495)."""
-    if cfg.grid_preset:
+    """CreateGrid (vicalib-engine.cc:453-495); -grid_file loads a real
+    printed target's bit pattern (see grid.load_grid_file)."""
+    if cfg.grid_file:
+        target = grid_mod.load_grid_file(
+            cfg.grid_file, cfg.grid_spacing, cfg.grid_large_rad,
+            cfg.grid_small_rad)
+    elif cfg.grid_preset:
         target = grid_mod.load_preset(cfg.grid_preset)
     else:
         target = grid_mod.TargetGrid(
@@ -167,6 +187,18 @@ class VicalibEngine:
         self.cfg.apply_static_preset()
         self.update_stats = update_stats_callback or (lambda s: None)
         self.target = make_grid(config)
+        # flags that only make sense with the reference's live GUI/capture
+        # loop get an explicit warning instead of silently parsing to a no-op
+        if config.paused:
+            log.warning("-paused requests an interactive GUI pause; batch "
+                        "replay has no capture loop to pause — ignored")
+        if config.device_serial not in ("-1", ""):
+            log.warning("-device_serial selects a live capture device; "
+                        "replay sources are addressed by URI — ignored")
+        if not config.exit_vicalib_on_finish:
+            log.warning("-noexit_vicalib_on_finish keeps the reference's GUI "
+                        "alive after solving; the batch engine always "
+                        "returns when done")
 
     def _model_names(self, n_channels):
         cfg = self.cfg
@@ -194,9 +226,28 @@ class VicalibEngine:
             raise ValueError("No camera URI given")
         camera = sources.parse_camera_uri(cfg.cam)
         camera.frame_rate = cfg.frame_rate_hint
-        imu = sources.parse_imu_uri(cfg.imu) if cfg.imu else None
+        imu = sources.parse_imu_uri(
+            cfg.imu, use_system_time=cfg.use_system_time) if cfg.imu else None
         if imu is None:
             cfg.calibrate_imu = False
+
+        # ---- camera<->IMU clock handling (vicalib-task.cc:633-653).
+        # With -use_system_time both streams carry host stamps and are
+        # already synchronized (offset init 0).  With device time the clocks
+        # are unrelated: initialize the offset by aligning the first IMU
+        # sample with the first frame — the same assumption the reference
+        # makes (both streams start when recording starts) — and let the
+        # solver refine it.  Convention: imu_time + offset = image time.
+        time_offset_guess = 0.0
+        if (imu is not None and cfg.calibrate_imu and cfg.find_time_offset
+                and not cfg.use_system_time and len(imu.times)
+                and camera.n_frames):
+            time_offset_guess = (
+                camera.timestamp(0, system=False) - float(imu.times[0]))
+            if abs(time_offset_guess) > 1e-6:
+                log.info("unsynchronized clocks: initial camera-IMU time "
+                         "offset %.6f s from first IMU sample",
+                         time_offset_guess)
 
         C = camera.num_channels
         model_names, preload = self._model_names(C)
@@ -206,18 +257,19 @@ class VicalibEngine:
         # (vicalib-engine.cc:497-555)
         accel_filter = BoxcarFilter(10, cfg.static_accel_threshold)
         gyro_filter = BoxcarFilter(10, cfg.static_gyro_threshold)
-        first_imu_time = imu.times[0] if imu is not None and \
-            len(imu.times) else -np.inf
+        # first IMU time expressed on the image clock (offset applied)
+        first_imu_time = imu.times[0] + time_offset_guess if imu is not None \
+            and len(imu.times) else -np.inf
         imu_cursor = 0
 
         sel_times = []
         sel_indices = []
         skipped = 0
         for k in range(camera.n_frames):
-            t = camera.timestamp(k)
+            t = camera.timestamp(k, system=cfg.use_system_time)
             if imu is not None and cfg.use_only_when_static:
                 while imu_cursor < len(imu.times) and \
-                        imu.times[imu_cursor] <= t:
+                        imu.times[imu_cursor] + time_offset_guess <= t:
                     accel_filter.add(imu.accel[imu_cursor])
                     gyro_filter.add(imu.gyro[imu_cursor])
                     imu_cursor += 1
@@ -296,7 +348,14 @@ class VicalibEngine:
 
         kw = {}
         if imu is not None:
-            kw = dict(imu_times=imu.times, gyro=imu.gyro, accel=imu.accel)
+            # with unsynchronized device clocks the first-sample alignment
+            # can still be off by the stream-start gap; the raw-stream
+            # gyro/vision refinement pins it inside the window slack
+            kw = dict(imu_times=imu.times, gyro=imu.gyro, accel=imu.accel,
+                      time_offset_guess=time_offset_guess,
+                      refine_time_offset=(not cfg.use_system_time
+                                          and cfg.find_time_offset
+                                          and cfg.calibrate_imu))
         data, state = build_problem(
             model_names, np.asarray(sel_times), pixels, visible,
             self.target.circles_3d(), widths=widths, heights=heights,
@@ -394,7 +453,18 @@ class VicalibEngine:
                     f.write("stage %s: iters=%d cost=%.6e wall=%.2fs\n" %
                             tuple(row))
                 if result.covariance is not None:
-                    f.write("shared-parameter covariance:\n%s\n" %
+                    # named per-block marginals, like the reference's
+                    # covariance log (vicalibrator.h:802-857: block name +
+                    # covariance + std-dev per block)
+                    f.write("shared-parameter covariance blocks:\n")
+                    for name, start, size in data.layout.block_names():
+                        blk = result.covariance[start:start + size,
+                                                start:start + size]
+                        sd = np.sqrt(np.maximum(np.diag(blk), 0.0))
+                        f.write("%s: sigma= %s\ncov=\n%s\n" % (
+                            name, np.array2string(sd, precision=6),
+                            np.array2string(blk, precision=4)))
+                    f.write("full shared-parameter covariance:\n%s\n" %
                             np.array2string(result.covariance, precision=4))
 
         # ---- outputs (vicalib-engine.cc:355-373, 406-422)

@@ -58,6 +58,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int64)]
         lib.vn_match_grid.restype = ctypes.c_int64
+    if hasattr(lib, "vn_match_grid_batch"):
+        lib.vn_match_grid_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        lib.vn_match_grid_batch.restype = None
     _lib = lib
     return _lib
 
@@ -125,6 +133,36 @@ def match_grid(centers, radii, valid, pattern, min_matched=16,
         rows, cols, min_matched, min_agreement,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return (int(n), out) if n >= 0 else (-1, out)
+
+
+def match_grid_batch(centers, radii, valid, pattern, min_matched=16,
+                     min_agreement=0.8, nthreads=0):
+    """Threaded native grid association over a frame batch.
+
+    centers: (F, K, 2), radii: (F, K), valid: (F, K).  Returns
+    (n_matched (F,) int64 with -1 for no-grid frames, coords (F, K, 2)),
+    or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "vn_match_grid_batch"):
+        return None
+    centers = np.ascontiguousarray(centers, dtype=np.float64)
+    radii = np.ascontiguousarray(radii, dtype=np.float64)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    pattern = np.ascontiguousarray(pattern, dtype=np.int32)
+    F, K = radii.shape
+    rows, cols = pattern.shape
+    out = np.empty((F, K, 2), dtype=np.int64)
+    out_n = np.empty((F,), dtype=np.int64)
+    lib.vn_match_grid_batch(
+        centers.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        radii.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        F, K, pattern.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rows, cols, min_matched, min_agreement,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
+    return out_n, out
 
 
 def read_doubles(path, max_count=50_000_000):

@@ -259,6 +259,32 @@ def default_stereo_vi_config(n_frames=80, model="linear",
                      n_frames=n_frames, time_offset=time_offset, **kw)
 
 
+def default_multicam_vi_config(n_cams=4, n_frames=160, model="linear",
+                               time_offset=0.0, **kw) -> SimConfig:
+    """An n-camera VI rig — BASELINE config 5's shape (4+ cameras).
+
+    Camera 0 sits at the RDF permutation from the IMU (like the vi_sim
+    fixture); the others are offset/rotated slightly, with distinct
+    intrinsics, as a real multi-camera rig would be.
+    """
+    rng = np.random.default_rng(1234)
+    q_rdf = quat_np.from_matrix(RDF_ROBOTICS_T_CK)
+    cams = []
+    for c in range(n_cams):
+        params = _default_intrinsics_np(model)
+        params[:4] = [335.64 + 2.1 * c, 335.64 + 1.3 * c,
+                      400.0 - 1.5 * c, 300.0 + 1.1 * c]
+        if c == 0:
+            T_ck = (q_rdf.copy(), np.zeros(3))
+        else:
+            dq = quat_np.exp(rng.normal(size=3) * 0.02)
+            off = rng.normal(size=3) * 0.06
+            T_ck = (quat_np.quat_mul(q_rdf, dq), off)
+        cams.append(SimRigCamera(model=model, params=params, T_ck=T_ck))
+    return SimConfig(cameras=cams, target=make_target(),
+                     n_frames=n_frames, time_offset=time_offset, **kw)
+
+
 def _default_intrinsics_np(model, width=800, height=600):
     """numpy mirror of CameraModel.init_params (host path: no jax ops)."""
     n = get_model(model).n_params

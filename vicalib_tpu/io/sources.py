@@ -86,17 +86,33 @@ class CameraSource:
         n = min(len(f) for f in self.files) if self.files else 0
         self.n_frames = n
         self._timestamps = None
+        self._system_times = None
         if self.files and self.files[0]:
             tdir = os.path.dirname(self.files[0][0])
             tfile = os.path.join(tdir, "timestamps.txt")
             if os.path.exists(tfile):
                 self._timestamps = np.loadtxt(tfile).reshape(-1)[:n]
+            # optional host/system clock stamps (the reference's
+            # image->system_time(), selected by -use_system_time,
+            # vicalib-task.cc:625-627); device clock lives in timestamps.txt
+            sfile = os.path.join(tdir, "system_times.txt")
+            if os.path.exists(sfile):
+                self._system_times = np.loadtxt(sfile).reshape(-1)[:n]
 
     @property
     def num_channels(self):
         return len(self.files)
 
-    def timestamp(self, k: int) -> float:
+    @property
+    def has_system_times(self):
+        return self._system_times is not None
+
+    def timestamp(self, k: int, system: bool = False) -> float:
+        """Frame stamp on the device clock, or the system clock with
+        ``system=True`` (falls back to device time when no system_times.txt
+        exists — i.e. the clocks are assumed synchronized)."""
+        if system and self._system_times is not None:
+            return float(self._system_times[k])
         if self._timestamps is not None:
             return float(self._timestamps[k])
         return k / self.frame_rate
@@ -132,9 +148,13 @@ class ImuSource:
     Reference analog: hal::IMU with the csv:// driver (README.md:48,
     vicalib-engine.cc:136-138).  Each file has one row per sample; accel and
     gyro rows are 3 values (or 4 with a leading timestamp), timestamp.txt
-    carries the stamps (first column used).
+    carries the stamps.  A two-column timestamp.txt models the reference's
+    device/system clock pair (ImuMsg::device_time / system_time,
+    vicalib-task.cc:689-691): column 0 is the device clock, column 1 the
+    system clock; ``use_system_time`` selects which one ``times`` exposes.
     """
     directory: str
+    use_system_time: bool = False
 
     def __post_init__(self):
         d = self.directory
@@ -142,14 +162,20 @@ class ImuSource:
                                          delimiter=None))
         gyro = np.atleast_2d(np.loadtxt(os.path.join(d, "gyro.txt")))
         ts_path = os.path.join(d, "timestamp.txt")
+        self.device_times = self.system_times = None
         if os.path.exists(ts_path):
             ts = np.loadtxt(ts_path)
-            # single column -> the stamps; multiple columns -> last column
-            self.times = ts if ts.ndim == 1 else ts[:, -1]
+            if ts.ndim == 1:
+                self.device_times = self.system_times = ts
+            else:
+                self.device_times = ts[:, 0]
+                self.system_times = ts[:, 1]
         else:
-            self.times = accel[:, 0]
+            self.device_times = self.system_times = accel[:, 0]
             accel = accel[:, 1:]
             gyro = gyro[:, 1:]
+        self.times = (self.system_times if self.use_system_time
+                      else self.device_times)
         self.accel = accel[:, -3:]
         self.gyro = gyro[:, -3:]
         n = min(len(self.times), len(self.accel), len(self.gyro))
@@ -301,6 +327,6 @@ def parse_camera_uri(uri: str) -> CameraSource:
     return CameraSource(globs)
 
 
-def parse_imu_uri(uri: str) -> ImuSource:
+def parse_imu_uri(uri: str, use_system_time: bool = False) -> ImuSource:
     path = uri[len("csv://"):] if uri.startswith("csv://") else uri
-    return ImuSource(path)
+    return ImuSource(path, use_system_time=use_system_time)

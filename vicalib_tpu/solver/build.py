@@ -16,11 +16,55 @@ import numpy as np
 
 from ..cameras import get_model
 from ..detect import pnp
-from ..geometry import se3
+from ..geometry import quat_np, se3
 from ..imu import build_windows, gather_windows
 from .assemble import ProblemData
 from .problem import CalibState, SharedLayout, init_state
 from .residuals import CameraObs, ImuFactors
+
+
+def refine_offset_guess(frame_times, q_wk, imu_times, gyro, guess,
+                        search: float = 0.6, n_coarse: int = 601):
+    """Coarse camera<->IMU time alignment from the RAW gyro stream.
+
+    The first-IMU-sample alignment (vicalib-task.cc:633-653) assumes both
+    streams start simultaneously; real rigs can be off by hundreds of ms —
+    outside both the LM convergence basin (~10 ms) and the factor windows'
+    slack.  The body angular-rate *magnitude* is rotation-invariant, so the
+    offset is identified by scanning |gyro(t_mid - d)| against the
+    camera-derived angular speed |log(q_k^-1 q_{k+1})| / dt over a coarse
+    grid around ``guess`` (then one 10x finer pass).  Host-side numpy: runs
+    once per problem build over a few hundred interpolations.
+    """
+    frame_times = np.asarray(frame_times, np.float64)
+    q = np.asarray(q_wk, np.float64)
+    imu_times = np.asarray(imu_times, np.float64)
+    gyro = np.asarray(gyro, np.float64)
+    if len(frame_times) < 3 or len(imu_times) < 4:
+        return float(guess)
+    dt = np.diff(frame_times)
+    dq = quat_np.quat_mul(quat_np.inverse(q[:-1]), q[1:])
+    omega = np.linalg.norm(quat_np.log(dq), axis=-1) / np.maximum(dt, 1e-9)
+    t_mid = 0.5 * (frame_times[:-1] + frame_times[1:])
+    gmag = np.linalg.norm(gyro, axis=1)
+
+    def misfit(d):
+        # sample only where the query lands inside the raw stream
+        tq = t_mid - d
+        ok = (tq >= imu_times[0]) & (tq <= imu_times[-1])
+        if ok.sum() < max(4, len(t_mid) // 4):
+            return np.inf
+        z = np.interp(tq[ok], imu_times, gmag)
+        return float(np.mean((z - omega[ok]) ** 2))
+
+    best = float(guess)
+    for half, n in ((search, n_coarse), (search / 50.0, 101)):
+        grid = best + np.linspace(-half, half, n)
+        costs = np.array([misfit(d) for d in grid])
+        if not np.isfinite(costs).any():
+            return float(guess)
+        best = float(grid[int(np.argmin(costs))])
+    return best
 
 
 def build_problem(
@@ -41,8 +85,15 @@ def build_problem(
     dtype=jnp.float64,
     init_poses: bool = True,
     use_ransac: bool = False,
+    refine_time_offset: bool = False,
 ):
-    """Returns (data: ProblemData, state: CalibState)."""
+    """Returns (data: ProblemData, state: CalibState).
+
+    With ``refine_time_offset`` the offset guess is refined by raw-stream
+    gyro/vision alignment (:func:`refine_offset_guess`) before the factor
+    windows are built — required when camera and IMU device clocks are
+    unsynchronized beyond the window slack.
+    """
     C, F, P, _ = pixels.shape
     widths = widths or [800] * C
     heights = heights or [600] * C
@@ -60,25 +111,8 @@ def build_problem(
             points_per_frame=P,
         ))
 
-    imu = None
-    if imu_times is not None and len(imu_times) > 0:
-        win = build_windows(imu_times, frame_times,
-                            offset_guess=time_offset_guess, slack=window_slack)
-        t_w, g_w, a_w = gather_windows(
-            np.asarray(imu_times), np.asarray(gyro), np.asarray(accel),
-            win["idx0"], win["n_slots"])
-        imu = ImuFactors(win_times=t_w, win_gyro=g_w, win_accel=a_w,
-                         start=win["start"], end=win["end"],
-                         has_meas=win["has_meas"],
-                         frame_i=np.arange(F - 1, dtype=np.int32),
-                         consecutive=True)
-
-    data = ProblemData(obs=obs, imu=imu, layout=layout, n_frames=F)
-
     state = init_state(F, model_names, widths, heights, dtype=dtype,
                        intr0=intr0, T_ck0=T_ck0)
-    state = state._replace(
-        time_offset=jnp.asarray(time_offset_guess, dtype=dtype))
 
     if init_poses:
         # PnP-seed frame poses from camera 0 (vicalib-task.cc:344-349),
@@ -91,6 +125,27 @@ def build_problem(
             jnp.asarray(visible[0], dtype=dtype),
             state.q_ck[0], state.p_ck[0], state.q_wk, state.t_wk)
         state = state._replace(q_wk=q_wk, t_wk=t_wk)
+
+    imu = None
+    if imu_times is not None and len(imu_times) > 0:
+        if refine_time_offset and init_poses:
+            time_offset_guess = refine_offset_guess(
+                frame_times, state.q_wk, imu_times, gyro,
+                time_offset_guess)
+        win = build_windows(imu_times, frame_times,
+                            offset_guess=time_offset_guess, slack=window_slack)
+        t_w, g_w, a_w = gather_windows(
+            np.asarray(imu_times), np.asarray(gyro), np.asarray(accel),
+            win["idx0"], win["n_slots"])
+        imu = ImuFactors(win_times=t_w, win_gyro=g_w, win_accel=a_w,
+                         start=win["start"], end=win["end"],
+                         has_meas=win["has_meas"],
+                         frame_i=np.arange(F - 1, dtype=np.int32),
+                         consecutive=True, slack=float(window_slack))
+
+    data = ProblemData(obs=obs, imu=imu, layout=layout, n_frames=F)
+    state = state._replace(
+        time_offset=jnp.asarray(time_offset_guess, dtype=dtype))
 
     return data, state
 
@@ -113,7 +168,8 @@ def _init_poses_jit(model_name, use_ransac, intr, pix, p3d, vis,
 
 def problem_from_sim(sim_data, model_names=None, dtype=jnp.float64,
                      time_offset_guess=0.0, use_imu=False, intr0=None,
-                     use_ransac=False, window_slack=0.35):
+                     use_ransac=False, window_slack=0.35,
+                     refine_time_offset=False):
     """Convenience: wire a SimData into (ProblemData, initial CalibState)."""
     cfg = sim_data.config
     names = model_names or [c.model for c in cfg.cameras]
@@ -122,7 +178,8 @@ def problem_from_sim(sim_data, model_names=None, dtype=jnp.float64,
         kwargs = dict(imu_times=sim_data.imu_times, gyro=sim_data.gyro,
                       accel=sim_data.accel,
                       time_offset_guess=time_offset_guess,
-                      window_slack=window_slack)
+                      window_slack=window_slack,
+                      refine_time_offset=refine_time_offset)
     return build_problem(
         names, sim_data.frame_times, sim_data.pixels, sim_data.visible,
         sim_data.points_3d,

@@ -69,34 +69,27 @@ class LMInfo:
     n_residuals: int
 
 
-def _lm_step(data, state, lam, nu, weight_sqrt, fmask, smask, inertial_scale,
-             rotation_only, options: LMOptions):
-    """One multi-candidate damped step with gain-ratio lambda adaptation.
-
-    The normal equations are assembled ONCE (jacobians dominate the cost);
-    then ``options.lam_factors`` damping candidates are solved and
-    trial-evaluated in a single batched pass, and the best admissible trial
-    is taken.  rho = actual / predicted reduction of the chosen candidate;
-    accepted steps move lambda to the candidate shrunk by Nielsen's
-    max(1/3, 1 - (2 rho - 1)^3), rejected steps grow it by the doubling
-    factor nu.  Returns pred_max (the best model-predicted reduction among
-    candidates) so callers can stop when even the model promises less than
-    the function tolerance — the analog of Ceres terminating on tiny trust
-    region steps."""
-    dtype = state.t_wk.dtype
-    D, U, Hfs, Hss, gf, gs, cost, _ = assemble(
-        state, data, weight_sqrt, fmask, smask, inertial_scale,
-        rotation_only)
-    lams = jnp.stack([lam * jnp.asarray(f, dtype)
+def candidate_lams(lam, options: LMOptions, dtype):
+    """The damping candidates tried this iteration, (n_cand,)."""
+    return jnp.stack([lam * jnp.asarray(f, dtype)
                       for f in options.lam_factors])
-    dxf_b, dxs_b, pred_b = jax.vmap(
-        lambda l: schur_solve(D, U, Hfs, Hss, gf, gs, damping=l))(lams)
-    trial_b = jax.vmap(
-        lambda df, ds: retract(state, data.layout, df * fmask, ds * smask))(
-        dxf_b, dxs_b)
-    cost_b = jax.vmap(
-        lambda s: robust_costs(s, data, weight_sqrt, inertial_scale,
-                               rotation_only)[0])(trial_b)
+
+
+def select_candidate(state, trial_b, cost, cost_b, pred_b, lams, lam, nu,
+                     gf, gs, options: LMOptions):
+    """Shared accept/reject + lambda-adaptation policy.
+
+    This is THE step policy — both the single-device `_lm_step` and the
+    explicit shard_map path (dist.sharded.ShardedLMStep) feed their
+    per-candidate trial costs through it, so the distributed solver cannot
+    semantically diverge from production.  rho = actual / predicted reduction
+    of the chosen candidate; accepted steps move lambda to the candidate
+    shrunk by Nielsen's max(1/3, 1 - (2 rho - 1)^3), rejected steps grow it
+    by the doubling factor nu.  Returns pred_max (the best model-predicted
+    reduction among candidates) so callers can stop when even the model
+    promises less than the function tolerance — the analog of Ceres
+    terminating on tiny trust-region steps."""
+    dtype = cost.dtype
     valid = pred_b > 0
     cand = jnp.where(valid, cost_b, jnp.inf)
     j = jnp.argmin(cand)
@@ -115,6 +108,31 @@ def _lm_step(data, state, lam, nu, weight_sqrt, fmask, smask, inertial_scale,
     pred_max = jnp.max(jnp.where(valid, pred_b, 0.0))
     return (new_state, new_lam, new_nu, cost, trial_cost, accept, gnorm,
             pred_max)
+
+
+def _lm_step(data, state, lam, nu, weight_sqrt, fmask, smask, inertial_scale,
+             rotation_only, options: LMOptions):
+    """One multi-candidate damped step with gain-ratio lambda adaptation.
+
+    The normal equations are assembled ONCE (jacobians dominate the cost);
+    then ``options.lam_factors`` damping candidates are solved and
+    trial-evaluated in a single batched pass, and the best admissible trial
+    is taken via :func:`select_candidate`."""
+    dtype = state.t_wk.dtype
+    D, U, Hfs, Hss, gf, gs, cost, _ = assemble(
+        state, data, weight_sqrt, fmask, smask, inertial_scale,
+        rotation_only)
+    lams = candidate_lams(lam, options, dtype)
+    dxf_b, dxs_b, pred_b = jax.vmap(
+        lambda l: schur_solve(D, U, Hfs, Hss, gf, gs, damping=l))(lams)
+    trial_b = jax.vmap(
+        lambda df, ds: retract(state, data.layout, df * fmask, ds * smask))(
+        dxf_b, dxs_b)
+    cost_b = jax.vmap(
+        lambda s: robust_costs(s, data, weight_sqrt, inertial_scale,
+                               rotation_only)[0])(trial_b)
+    return select_candidate(state, trial_b, cost, cost_b, pred_b, lams,
+                            lam, nu, gf, gs, options)
 
 
 def _get_weights(data, state, seed_weight, use_cov_weights, sigmas,
@@ -164,8 +182,11 @@ def fused_solve(data: ProblemData, state: CalibState, fmask, smask,
             converged = accept & ((cost - trial_cost) < ftol_gate)
             # even the best candidate's MODEL-predicted reduction is below
             # tolerance: no step from here can pass ftol — stop instead of
-            # burning reject iterations growing lambda
-            converged |= (~accept) & (pred_max < ftol_gate)
+            # burning reject iterations growing lambda.  Only when some
+            # candidate was admissible (pred_max > 0): an all-indefinite
+            # iteration must fall through to lambda growth, not declare
+            # convergence.
+            converged |= (~accept) & (pred_max > 0) & (pred_max < ftol_gate)
             converged |= (gnorm > 0) & (gnorm < options.gradient_tolerance)
             converged |= lam >= options.lam_max
             return (new_state, new_lam, new_nu, W,

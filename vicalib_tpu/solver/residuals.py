@@ -64,6 +64,9 @@ class ImuFactors:
     has_meas: np.ndarray    # (K,) bool
     frame_i: np.ndarray     # (K,) int32 — first frame of the pair
     consecutive: bool = False      # static: frame_i == arange(n_frames - 1)
+    # static: seconds of raw-sample margin each window carries beyond
+    # [start, end] (build_windows slack) — the searchable time-offset range
+    slack: float = 0.0
 
 
 # ----------------------------------------------------------------- reprojection
@@ -211,11 +214,11 @@ def _obs_unflatten(aux, children):
 
 def _imu_flatten(o):
     return (o.win_times, o.win_gyro, o.win_accel, o.start, o.end,
-            o.has_meas, o.frame_i), o.consecutive
+            o.has_meas, o.frame_i), (o.consecutive, o.slack)
 
 
 def _imu_unflatten(aux, children):
-    return ImuFactors(*children, consecutive=aux)
+    return ImuFactors(*children, consecutive=aux[0], slack=aux[1])
 
 
 jax.tree_util.register_pytree_node(CameraObs, _obs_flatten, _obs_unflatten)

@@ -56,6 +56,47 @@ def _interp3(t, times, vals):
     return jax.vmap(lambda c: jnp.interp(t, times, c), in_axes=1)(vals)
 
 
+@partial(jax.jit, static_argnames=("max_shift", "n_cand"))
+def initialize_time_offset(state: CalibState, imu, max_shift: float,
+                           n_cand: int = 129) -> CalibState:
+    """Coarse camera<->IMU time alignment by gyro/vision cross-correlation.
+
+    The LM refinement of the time offset only converges within its local
+    basin (~10 ms for typical motion); a first-IMU-sample alignment guess
+    (vicalib-task.cc:633-653) can be 100+ ms off when the streams don't
+    start simultaneously.  Classic VI alignment init: the *magnitude* of
+    the body angular rate is rotation-invariant, so scan candidate offsets
+    and pick the one where |gyro(t_mid - d)| best matches the camera-derived
+    angular speed |log(q_k^-1 q_{k+1})| / dt.  Runs fully on device; grid
+    spans +-max_shift (the window slack — samples beyond it aren't in the
+    factor windows) around the current offset.  TPU-native design
+    improvement; the reference has no basin-escape mechanism.
+    """
+    dtype = state.t_wk.dtype
+    start = jnp.asarray(imu.start, dtype)
+    end = jnp.asarray(imu.end, dtype)
+    dt = end - start
+    valid = ((dt > 0) & jnp.asarray(imu.has_meas)).astype(dtype)
+    safe_dt = jnp.where(dt > 0, dt, 1.0)
+
+    dq_k = so3.quat_mul(so3.inverse(state.q_wk[:-1]), state.q_wk[1:])
+    omega_mag = jnp.linalg.norm(jax.vmap(so3.log)(dq_k), axis=1) / safe_dt
+    t_mid = 0.5 * (start + end)
+    win_times = jnp.asarray(imu.win_times)
+    win_gyro = jnp.asarray(imu.win_gyro)
+
+    def misfit(d):
+        zg = jax.vmap(_interp3)(t_mid - d, win_times, win_gyro)
+        mag = jnp.linalg.norm(zg - state.biases[:3], axis=1)
+        return jnp.sum(valid * (mag - omega_mag) ** 2)
+
+    ds = state.time_offset + jnp.linspace(
+        jnp.asarray(-max_shift, dtype), jnp.asarray(max_shift, dtype),
+        n_cand)
+    costs = jax.vmap(misfit)(ds)
+    return state._replace(time_offset=ds[jnp.argmin(costs)])
+
+
 @jax.jit
 def initialize_extrinsic_rotation(state: CalibState,
                                   imu) -> CalibState:
@@ -243,6 +284,10 @@ def run_staged(state: CalibState, data: ProblemData,
 
         if (inertial and flags.rotation_only
                 and not extrinsic_rot_initialized):
+            if (flags.optimize_time_offset and data.imu is not None
+                    and data.imu.slack > 0):
+                state = initialize_time_offset(state, data.imu,
+                                               max_shift=data.imu.slack)
             state = initialize_extrinsic_rotation(state, data.imu)
             extrinsic_rot_initialized = True
 

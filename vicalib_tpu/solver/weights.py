@@ -35,11 +35,12 @@ def imu_weights(state: CalibState, imu: ImuFactors,
     q2s, t2s, v2s = (state.q_wk[fi + 1], state.t_wk[fi + 1],
                      state.v_w[fi + 1])
 
-    def one(k_q1, k_t1, k_v1, k_q2, k_t2, k_v2, wtk, wgk, wak, s, e, h):
+    def one(k_q1, k_t1, k_v1, k_q2, k_t2, k_v2, wtk, wgk, wak, t_start,
+            t_end, h):
         def endstate(gyro_vals, accel_vals):
             return preintegrate.end_state(
-                (k_q1, k_t1), k_v1, wtk, gyro_vals, accel_vals, s, e,
-                state.g_dir, state.biases[:3], state.biases[3:],
+                (k_q1, k_t1), k_v1, wtk, gyro_vals, accel_vals, t_start,
+                t_end, state.g_dir, state.biases[:3], state.biases[3:],
                 state.scales, state.time_offset)
 
         y = endstate(wgk, wak)
@@ -65,13 +66,23 @@ def imu_weights(state: CalibState, imu: ImuFactors,
         # |W r|^2, and hence the normal equations and the Mahalanobis
         # diagnostic, are identical.
         d = jnp.maximum(jnp.diag(M9), 1e-20)
-        s = 1.0 / jnp.sqrt(d)
-        L = jnp.linalg.cholesky(M9 * s[:, None] * s[None, :])
+        dscale = 1.0 / jnp.sqrt(d)
+        # after unit-diagonal scaling the entries are O(1); a relative
+        # jitter keeps the unpivoted Cholesky finite on the float32 TPU
+        # path (the absolute 1e-12 above is below f32 resolution here)
+        eps = 1e-6 if M9.dtype == jnp.float32 else 1e-12
+        M9s = (M9 * dscale[:, None] * dscale[None, :]
+               + jnp.eye(9, dtype=M9.dtype) * eps)
+        L = jnp.linalg.cholesky(M9s)
         inv_L = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(9, dtype=M9.dtype), lower=True)
-        inv_sqrt = (inv_L * s[None, :]) / accel_sigma
+        inv_sqrt = (inv_L * dscale[None, :]) / accel_sigma
         eye = jnp.eye(9, dtype=M9.dtype) * 500.0
-        return jnp.where(h, inv_sqrt, eye)
+        # numerically non-PD factor (Cholesky NaN) -> fall back to the seed
+        # weight rather than poisoning the whole stage
+        ok = h & jnp.all(jnp.isfinite(inv_sqrt))
+        return jnp.where(ok, jnp.where(jnp.isfinite(inv_sqrt), inv_sqrt, 0.0),
+                         eye)
 
     return jax.vmap(one)(
         q1s, t1s, v1s, q2s, t2s, v2s,

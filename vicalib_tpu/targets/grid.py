@@ -110,3 +110,26 @@ def load_preset(name: str) -> TargetGrid:
             f"unknown grid preset {name!r}; choose from {sorted(_PRESETS)}")
     rows, cols, seed, spacing, large, small = _PRESETS[name]
     return TargetGrid(make_pattern(rows, cols, seed), spacing, large, small)
+
+
+def load_grid_file(path: str, spacing: float, large_rad: float,
+                   small_rad: float) -> TargetGrid:
+    """Load a target's 0/1 bit pattern from a file (-grid_file).
+
+    Escape hatch for real printed targets: our generator is deterministic
+    but not byte-identical to Calibu's (see module NOTE), so an existing
+    physical Calibu grid cannot be regenerated from its seed — but its bit
+    matrix can be dumped once (e.g. from calibu's Map()) and loaded here.
+    Accepts .npy, or text (csv/whitespace) with one row per grid row.
+    """
+    if path.endswith(".npy"):
+        grid = np.load(path)
+    else:
+        try:
+            grid = np.loadtxt(path, delimiter=",")
+        except ValueError:
+            grid = np.loadtxt(path)
+    grid = np.atleast_2d(np.asarray(grid))
+    if not np.all((grid == 0) | (grid == 1)):
+        raise ValueError(f"grid file {path} must contain only 0/1 entries")
+    return TargetGrid(grid.astype(np.int32), spacing, large_rad, small_rad)
