@@ -128,6 +128,37 @@ def test_engine_device_time_clock_skew(dataset, tmp_path):
     assert result.stats.reprojection_error[0] < 0.1
 
 
+def test_engine_streaming_mode(dataset, tmp_path):
+    """-stream_chunk: incremental calibration over the replayed capture,
+    publishing stats after every chunk, matching batch-mode accuracy."""
+    root, sim_cfg, data = dataset
+    published = []
+    cfg = VicalibConfig(
+        cam=f"file://{root}/images/*.pgm",
+        imu=f"csv://{root}/imu",
+        models="linear",
+        use_only_when_static=False,
+        calibrate_imu=True,
+        stream_chunk=10,
+        output=str(tmp_path / "cameras.xml"),
+        print_poses=True,
+    )
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = VicalibEngine(cfg, update_stats_callback=published.append).run()
+    finally:
+        os.chdir(cwd)
+    assert result.success, result.stats
+    # stats published for every chunk (plus the initial OPTIMIZING and the
+    # final status update)
+    assert len(published) >= 3
+    assert result.stats.reprojection_error[0] < 0.1
+    assert (tmp_path / "poses.txt").exists()
+
+
 def test_imu_source_system_time_column(dataset, tmp_path):
     """Two-column timestamp.txt: column 0 device clock, column 1 system."""
     _, _, data = dataset

@@ -96,6 +96,9 @@ class VicalibConfig:
     process_id: int = -1
     frame_rate_hint: float = 10.0   # for sources without timestamps
     compute_covariance: bool = False  # reference: COMPUTE_VICALIB_COVARIANCE
+    stream_chunk: int = 0           # >0: incremental solve every N frames
+                                    # (the reference's background-solver
+                                    # live mode, vicalib-engine.cc:375-433)
     checkpoint_file: str = ""       # native mid-solve checkpoint (npz)
     resume_file: str = ""           # resume staged solve from a checkpoint
     profile_dir: str = ""           # jax.profiler trace of the solve

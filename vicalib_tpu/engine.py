@@ -214,6 +214,64 @@ class VicalibEngine:
             names += ["poly3"] * (n_channels - len(names))
         return names[:n_channels], None
 
+    def _run_streaming(self, cfg, model_names, sel_times, pixels, visible,
+                       imu, widths, heights, dtype, options,
+                       time_offset_guess, stats):
+        """-stream_chunk N: incremental calibration during (replayed)
+        capture — the reference's background-solver live mode
+        (vicalib-engine.cc:375-433).  Frames are fed in chunks of N with
+        IMU interleaved by time; stats are published after every chunk."""
+        from .streaming import StreamingCalibrator
+
+        F = len(sel_times)
+
+        def publish(chunk):
+            stats.status = CalibrationStatus.OPTIMIZING
+            stats.total_mse = chunk.cost / max(chunk.n_frames, 1)
+            stats.reprojection_error = [float(r) for r in chunk.cam_rmse]
+            stats.num_iterations = chunk.iterations
+            stats.ts = chunk.time_offset
+            self.update_stats(stats.copy())
+            log.info("stream chunk: %d/%d frames rmse %s iters %d %.2fs",
+                     chunk.n_frames, F, chunk.cam_rmse, chunk.iterations,
+                     chunk.wall_s)
+
+        cal = StreamingCalibrator(
+            model_names, self.target.circles_3d(), widths=widths,
+            heights=heights, dtype=dtype, calibrate_imu=cfg.calibrate_imu,
+            optimize_time_offset=cfg.find_time_offset, options=options,
+            gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
+            stats_callback=publish, time_offset_guess=time_offset_guess)
+        cursor = 0
+        sel_times = np.asarray(sel_times)
+        for lo in range(0, F, cfg.stream_chunk):
+            hi = min(lo + cfg.stream_chunk, F)
+            if imu is not None:
+                # feed IMU samples up to the chunk's end plus window slack
+                t_hi = sel_times[hi - 1] + cal.window_slack \
+                    - time_offset_guess
+                take = int(np.searchsorted(imu.times, t_hi))
+                if take > cursor:
+                    cal.add_imu(imu.times[cursor:take],
+                                imu.gyro[cursor:take],
+                                imu.accel[cursor:take])
+                    cursor = take
+            cal.add_frames(sel_times[lo:hi], pixels[:, lo:hi],
+                           visible[:, lo:hi])
+            cal.solve()
+        result = cal.last_result
+        if cfg.compute_covariance:
+            from .solver.stages import shared_covariance
+            result.covariance = shared_covariance(
+                result.state, cal._last_data, cal._last_flags,
+                cfg.gyro_sigma, cfg.accel_sigma)
+        # drop the capacity-padding frames so downstream outputs (poses.txt
+        # etc.) line up with the F selected frames
+        s = result.state
+        result.state = s._replace(q_wk=s.q_wk[:F], t_wk=s.t_wk[:F],
+                                  v_w=s.v_w[:F])
+        return result
+
     def run(self) -> EngineResult:
         import jax.numpy as jnp
 
@@ -391,14 +449,20 @@ class VicalibEngine:
             profile_ctx = jax.profiler.trace(cfg.profile_dir)
             profile_ctx.__enter__()
         try:
-            result = run_staged(
-                state, data, flags, options,
-                do_remove_outliers=cfg.remove_outliers,
-                outlier_threshold=cfg.outlier_threshold,
-                gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
-                checkpoint_path=cfg.checkpoint_file or None,
-                compute_cov=cfg.compute_covariance, mesh=mesh,
-                resume=resume)
+            if cfg.stream_chunk > 0:
+                result = self._run_streaming(
+                    cfg, model_names, sel_times, pixels, visible, imu,
+                    widths, heights, dtype, options, time_offset_guess,
+                    stats)
+            else:
+                result = run_staged(
+                    state, data, flags, options,
+                    do_remove_outliers=cfg.remove_outliers,
+                    outlier_threshold=cfg.outlier_threshold,
+                    gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
+                    checkpoint_path=cfg.checkpoint_file or None,
+                    compute_cov=cfg.compute_covariance, mesh=mesh,
+                    resume=resume)
         finally:
             if profile_ctx is not None:
                 profile_ctx.__exit__(None, None, None)

@@ -58,7 +58,8 @@ class StreamingCalibrator:
     def __init__(self, model_names, points_3d, widths=None, heights=None,
                  dtype=None, window_slack=0.35, calibrate_imu=True,
                  optimize_time_offset=True, options=None,
-                 gyro_sigma=None, accel_sigma=None, stats_callback=None):
+                 gyro_sigma=None, accel_sigma=None, stats_callback=None,
+                 time_offset_guess=0.0):
         import jax.numpy as jnp
 
         from .solver.lm import LMOptions
@@ -76,6 +77,9 @@ class StreamingCalibrator:
         self.gyro_sigma = gyro_sigma or IMU_GYRO_SIGMA
         self.accel_sigma = accel_sigma or IMU_ACCEL_SIGMA
         self.stats_callback = stats_callback
+        self.time_offset_guess = float(time_offset_guess)
+        self.last_result = None        # StagedResult of the latest solve
+        self._last_data = None         # ProblemData of the latest solve
 
         C = len(self.model_names)
         P = len(self.points_3d)
@@ -149,7 +153,8 @@ class StreamingCalibrator:
         use_imu = self.calibrate_imu and len(self.imu_times) > 1
         if use_imu:
             kw = dict(imu_times=self.imu_times, gyro=self.gyro,
-                      accel=self.accel, window_slack=self.window_slack)
+                      accel=self.accel, window_slack=self.window_slack,
+                      time_offset_guess=self.time_offset_guess)
         data, state = build_problem(
             self.model_names, times, pixels, visible, self.points_3d,
             widths=self.widths, heights=self.heights, dtype=self.dtype,
@@ -178,6 +183,9 @@ class StreamingCalibrator:
                             accel_sigma=self.accel_sigma, resume=resume)
         self._state = result.state
         self._schedule_done = True
+        self.last_result = result
+        self._last_data = data
+        self._last_flags = flags
         chunk = ChunkResult(
             n_frames=F, capacity=cap, cam_rmse=result.cam_rmse,
             cost=result.info.cost, iterations=result.total_iterations,
