@@ -101,6 +101,39 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
     n_res = jnp.zeros((), dtype)
 
     for c, obs in enumerate(data.obs):
+        c0 = int(layout.cam_rot[c])
+        ncols = 6 + int(layout.n_intr[c])
+        P = obs.points_per_frame
+        # The forward-mode Gram path is ~2.6x faster per assembly, but at
+        # multi-million-observation scale the fused solver program holding
+        # its (F, k, P, 2) forward intermediates alongside the while-loop
+        # state crashes the TPU worker (HBM pressure); cap it and fall back
+        # to the per-observation reverse-mode path beyond.
+        if P is not None and F * P <= 1_000_000:
+            # frame-major regular layout: FORWARD-mode per-frame jacobians
+            # (point axis minor end to end — no layout-transpose copies)
+            # plus one batched Gram matmul per frame; see
+            # residuals.reproj_frame_gram.
+            from .residuals import reproj_frame_gram
+
+            col_mask = jnp.concatenate(
+                [frame_mask[:, :6],
+                 jnp.broadcast_to(shared_mask[c0:c0 + ncols],
+                                  (F, ncols))], axis=1)
+            s, G = reproj_frame_gram(state, obs, c,
+                                     layout.model_names[c],
+                                     col_mask, reproj_loss)
+            n_res = n_res + jnp.sum(jnp.asarray(obs.valid))
+            cost = cost + 0.5 * jnp.sum(reproj_loss.rho(s))
+            D = D.at[:, :6, :6].add(G[:, :6, :6])
+            gf = gf.at[:, :6].add(G[:, :6, -1])
+            Hfs = Hfs.at[:, :6, c0:c0 + ncols].add(G[:, :6, 6:6 + ncols])
+            Gs = jnp.sum(G, axis=0)
+            Hss = Hss.at[c0:c0 + ncols, c0:c0 + ncols].add(
+                Gs[6:6 + ncols, 6:6 + ncols])
+            gs = gs.at[c0:c0 + ncols].add(Gs[6:6 + ncols, -1])
+            continue
+
         r, Jp, Jr, Jt, Ji = reproj_residuals_and_jacobians(
             state, obs, c, layout.model_names[c])
         n_res = n_res + jnp.sum(jnp.asarray(obs.valid))
@@ -119,15 +152,12 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
         fidx = jnp.asarray(obs.frame_idx)
         fm = frame_mask[fidx][:, None, :6]             # (N,1,6)
         Jp = Jp * fm
-        c0 = int(layout.cam_rot[c])
-        ncols = 6 + int(layout.n_intr[c])
         sm = shared_mask[c0:c0 + ncols][None, None, :]
         Js = Js * sm
 
-        P = obs.points_per_frame
         if P is not None:
-            # frame-major regular layout: per-frame reductions are batched
-            # (6 x 2P) @ (2P x k) matmuls on the MXU — no scatters
+            # large frame-major problems: per-frame batched einsum
+            # reductions (no scatters), reverse-mode jacobians
             Jp_f = Jp.reshape(F, 2 * P, 6)
             Js_f = Js.reshape(F, 2 * P, ncols)
             r_f = r.reshape(F, 2 * P)
@@ -171,16 +201,23 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
         Jsh = Jsh * w[:, None, None] * shared_mask[None, None, i0:i0 + 15]
 
         if data.imu.consecutive and F > 1:
-            # factor k couples frames (k, k+1): slice-accumulate, no scatter
-            D = D.at[:-1].add(jnp.einsum("kri,krj->kij", J1, J1))
-            D = D.at[1:].add(jnp.einsum("kri,krj->kij", J2, J2))
-            U = U + jnp.einsum("kri,krj->kij", J1, J2)
-            gf = gf.at[:-1].add(jnp.einsum("kri,kr->ki", J1, r))
-            gf = gf.at[1:].add(jnp.einsum("kri,kr->ki", J2, r))
-            Hfs = Hfs.at[:-1, :, i0:i0 + 15].add(
-                jnp.einsum("kri,krj->kij", J1, Jsh))
-            Hfs = Hfs.at[1:, :, i0:i0 + 15].add(
-                jnp.einsum("kri,krj->kij", J2, Jsh))
+            # factor k couples frames (k, k+1): slice-accumulate, no
+            # scatter.  Same one-Gram-matmul trick as the visual path:
+            # stack [J1 | J2 | Jsh | r] (9+9+15+1 = 34 columns) and read
+            # every block product out of a single (K, 34, 34) batched
+            # matmul.
+            J_aug = jnp.concatenate([J1, J2, Jsh, r[:, :, None]], axis=2)
+            G = jnp.einsum("kri,krj->kij", J_aug, J_aug)
+            D = D.at[:-1].add(G[:, :9, :9])
+            D = D.at[1:].add(G[:, 9:18, 9:18])
+            U = U + G[:, :9, 9:18]
+            gf = gf.at[:-1].add(G[:, :9, -1])
+            gf = gf.at[1:].add(G[:, 9:18, -1])
+            Hfs = Hfs.at[:-1, :, i0:i0 + 15].add(G[:, :9, 18:33])
+            Hfs = Hfs.at[1:, :, i0:i0 + 15].add(G[:, 9:18, 18:33])
+            Gs = jnp.sum(G, axis=0)
+            Hss = Hss.at[i0:i0 + 15, i0:i0 + 15].add(Gs[18:33, 18:33])
+            gs = gs.at[i0:i0 + 15].add(Gs[18:33, -1])
         else:
             D = D + _seg_sum(jnp.einsum("kri,krj->kij", J1, J1), fi, F)
             D = D + _seg_sum(jnp.einsum("kri,krj->kij", J2, J2), fi + 1, F)
@@ -192,9 +229,9 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
             Hfs = Hfs.at[:, :, i0:i0 + 15].add(
                 _seg_sum(jnp.einsum("kri,krj->kij", J1, Jsh), fi, F)
                 + _seg_sum(jnp.einsum("kri,krj->kij", J2, Jsh), fi + 1, F))
-        Hss = Hss.at[i0:i0 + 15, i0:i0 + 15].add(
-            jnp.einsum("kri,krj->ij", Jsh, Jsh))
-        gs = gs.at[i0:i0 + 15].add(jnp.einsum("kri,kr->i", Jsh, r))
+            Hss = Hss.at[i0:i0 + 15, i0:i0 + 15].add(
+                jnp.einsum("kri,krj->ij", Jsh, Jsh))
+            gs = gs.at[i0:i0 + 15].add(jnp.einsum("kri,kr->i", Jsh, r))
 
     # pin masked coordinates: unit diagonal, zero gradient (already zero)
     eye9 = jnp.eye(9, dtype=dtype)

@@ -100,6 +100,82 @@ def reproj_residuals(state: CalibState, obs: CameraObs, cam: int,
     return r * jnp.asarray(obs.valid)[:, None]
 
 
+def _reproj_frame(model, q_ck, p_ck, intr, qw, tw, pw, pc, dx, n_intr):
+    """All of one frame's residuals, point-vectorized: pw (P, 3),
+    pc (P, 2) -> (P, 2).  ``dx`` is the stacked tangent increment
+    [pose(6) | cam-rot(3) | cam-trans(3) | intrinsics(n)]."""
+    dxp, dxr, dxt = dx[:6], dx[6:9], dx[9:12]
+    dxi = dx[12:12 + n_intr]
+    T_wk = se3.retract((qw, tw), dxp)
+    q_c = so3.quat_mul(q_ck, so3.exp(dxr))
+    p_c = p_ck + dxt
+    intr2 = intr[:n_intr] + dxi
+    q_kw, t_kw = se3.inverse(T_wk)
+    p_k = so3.rotate(q_kw[None, :], pw) + t_kw
+    p_cam = so3.rotate(q_c[None, :], p_k) + p_c
+    z = model.project(p_cam, intr2)
+    return z - pc
+
+
+def reproj_frame_gram(state: CalibState, obs: CameraObs, cam: int,
+                      model_name: str, col_mask, reproj_loss):
+    """Residuals + the per-frame Gram reduction, frame-major.
+
+    The per-observation reverse-mode path materializes (N, 2, k) jacobians
+    whose tiny minor dimension forces XLA into layout-transpose copies of
+    hundreds of MB per iteration (measured ~60% of assembly at 10k frames).
+    Here each frame's jacobian is built by FORWARD-mode JVPs — one
+    point-vectorized (2, P) evaluation per tangent seed — so every array
+    keeps the point axis minor (lane-dim friendly) end to end, and the
+    normal-equation blocks come from one batched (k+1, 2P) x (2P, k+1)
+    Gram matmul per frame with no transposes.
+
+    Returns (s (F, P) raw squared errors, G (F, k+1, k+1)) where G's last
+    row/column holds J^T r and the leading k x k block is the masked,
+    robust-weighted J^T J (columns ordered
+    [pose(6) | rot(3) | trans(3) | intr]).
+    """
+    model = get_model(model_name)
+    n_intr = model.n_params
+    P = obs.points_per_frame
+    dtype = state.t_wk.dtype
+    F = state.t_wk.shape[0]
+    pw_f = jnp.asarray(obs.p_w).reshape(F, P, 3)
+    pc_f = jnp.asarray(obs.p_c).reshape(F, P, 2)
+    valid_f = jnp.asarray(obs.valid).reshape(F, P)
+    k = 12 + n_intr
+    zk = jnp.zeros(k, dtype=dtype)
+    seeds = jnp.eye(k, dtype=dtype)
+
+    def per_frame(args):
+        qw, tw, pw, pc, valid, cmask = args
+
+        def f(dx):
+            return _reproj_frame(model, state.q_ck[cam], state.p_ck[cam],
+                                 state.intr[cam], qw, tw, pw, pc, dx,
+                                 n_intr)
+
+        r = f(zk) * valid[:, None]                          # (P, 2)
+        J = jax.vmap(lambda t: jax.jvp(f, (zk,), (t,))[1])(seeds)  # (k,P,2)
+        s = jnp.sum(r * r, axis=1)                          # (P,)
+        w = reproj_loss.weight(s) * valid                   # (P,)
+        J_aug = jnp.concatenate([J * cmask[:, None, None],
+                                 r[None]], axis=0)          # (k+1, P, 2)
+        J_aug = J_aug * w[None, :, None]
+        G = jnp.einsum("ipa,jpa->ij", J_aug, J_aug)         # (k+1, k+1)
+        return s, G
+
+    # NOTE: a lax.map(batch_size=...) chunking here trips an XLA:TPU
+    # tiling CHECK (signal 6, "second_minor_factor") at 10k-frame shapes;
+    # plain vmap compiles and runs — the (F, k, 2, P) forward-mode
+    # intermediates stay within HBM because the Gram consumes them in the
+    # same fusion.
+    s, G = jax.vmap(lambda qw, tw, pw, pc, v, m: per_frame(
+        (qw, tw, pw, pc, v, m)))(
+        state.q_wk, state.t_wk, pw_f, pc_f, valid_f, col_mask)
+    return s, G
+
+
 def reproj_residuals_and_jacobians(state: CalibState, obs: CameraObs,
                                    cam: int, model_name: str):
     """Residuals plus tangent jacobians for one camera.
