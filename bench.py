@@ -136,6 +136,142 @@ def config5():
     }))
 
 
+def detect_bench():
+    """Image-in detection benchmark at the reference resolution (800x600).
+
+    Measures the per-frame hot loop the reference runs on CPU
+    (ImageProcessing::Process -> ConicFinder::Find -> FindTarget -> PnP;
+    /root/reference/src/vicalib-task.cc:247-368) as the TPU pipeline:
+    chunked upload -> fused Pallas threshold+label + moments -> host C++
+    grid association -> vmapped RANSAC PnP.  Accuracy is asserted against
+    the simulator's ground-truth dot projections.  ``vs_baseline`` is
+    MEASURED on the same hardware: the portable XLA detection path (what
+    the pipeline would be without the fused kernel), not an estimate.
+
+    Prints one JSON line (metric: detect_frames_per_s); results recorded
+    in BASELINE.md.
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    from vicalib_tpu.detect.conics import ConicParams, find_conics_batch
+    from vicalib_tpu.detect.pnp import init_frame_poses
+    from vicalib_tpu.cameras.models import get_model
+    from vicalib_tpu.io import native as native_io
+    from vicalib_tpu.io import sim
+
+    F = int(os.environ.get("DETECT_FRAMES", "256"))
+    CHUNK = 32
+    log("devices:", jax.devices(), "frames:", F)
+
+    # capture geometry: close enough that the small dots exceed Calibu's
+    # conic_min_area=4 px^2 filter (radius ~2.6 px at 0.35 m with f=335;
+    # at 0.85 m they shrink to ~1.1 px and are correctly filtered out) —
+    # the same constraint a real handheld calibration video satisfies
+    cfg = sim.default_mono_config(n_frames=F, model="linear",
+                                  distance=0.35, orbit_radius=0.12)
+    cache = f"/tmp/vicalib_bench_frames_{F}_v2.npz"
+    t0 = time.time()
+    if os.path.exists(cache):
+        z = np.load(cache)
+        frames, gt_pixels, gt_visible = z["frames"], z["pixels"], z["visible"]
+        data_sim = None
+    else:
+        data_sim = sim.simulate(cfg)
+        frames = sim.render_frames(data_sim, cam=0)
+        gt_pixels, gt_visible = data_sim.pixels[0], data_sim.visible[0]
+        np.savez(cache, frames=frames, pixels=gt_pixels, visible=gt_visible)
+    log(f"frames ready ({frames.shape}, {time.time() - t0:.1f}s)")
+    target = cfg.target
+    p3d = target.circles_3d()
+    params = ConicParams(max_conics=512)
+    model = get_model("linear")
+    intr = jnp.asarray(cfg.cameras[0].params, jnp.float32)
+    T_ck = (jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32),
+            jnp.zeros(3, jnp.float32))
+
+    def pipeline(backend):
+        """images -> conics -> grid match -> PnP poses; returns stats.
+
+        Frames upload as uint8 (4x less tunnel/PCIe traffic than f32;
+        conversion happens on device) and all chunks are dispatched
+        asynchronously before any result is pulled, so uploads and kernel
+        execution overlap the host-side grid matching."""
+        pixels = np.zeros((F, p3d.shape[0], 2))
+        visible = np.zeros((F, p3d.shape[0]), dtype=bool)
+        t_det = t_match = 0.0
+        t0 = time.time()
+        dets = []
+        for i in range(0, F, CHUNK):
+            imgs = jnp.asarray(frames[i:i + CHUNK])     # uint8 upload
+            dets.append(find_conics_batch(imgs, params, backend=backend))
+        for ci, i in enumerate(range(0, F, CHUNK)):
+            det = jax.device_get(dets[ci])              # one pull per chunk
+            t_det += time.time() - t0
+            t0 = time.time()
+            batch = native_io.match_grid_batch(
+                det["center"], det["radius"], det["valid"], target.grid)
+            for k in range(det["center"].shape[0]):
+                if batch is None or int(batch[0][k]) < 0:
+                    continue
+                gc = batch[1][k]
+                sel = gc[:, 0] >= 0
+                gidx = gc[sel, 1] * target.cols + gc[sel, 0]
+                pixels[i + k, gidx] = det["center"][k][sel]
+                visible[i + k, gidx] = True
+            t_match += time.time() - t0
+            t0 = time.time()
+        t0 = time.time()
+        q_wk, t_wk = init_frame_poses(
+            model, intr, jnp.asarray(pixels, jnp.float32), p3d,
+            visible, T_ck, use_ransac=True)
+        jax.block_until_ready((q_wk, t_wk))
+        t_pnp = time.time() - t0
+        return pixels, visible, (t_det, t_match, t_pnp)
+
+    # warmup both backends (compile), then measure median of 3
+    pipeline("pallas")
+    pipeline("xla")
+
+    def timed(backend):
+        walls, parts = [], None
+        for _ in range(3):
+            t0 = time.time()
+            px, vis, parts = pipeline(backend)
+            walls.append(time.time() - t0)
+        return float(np.median(walls)), px, vis, parts
+
+    wall_p, pixels, visible, parts = timed("pallas")
+    wall_x, _, _, parts_x = timed("xla")
+    fps = F / wall_p
+    fps_x = F / wall_x
+    log(f"pallas: {wall_p:.2f}s = {fps:.1f} f/s "
+        f"(detect {parts[0]:.2f}s match {parts[1]:.2f}s pnp {parts[2]:.2f}s)")
+    log(f"xla:    {wall_x:.2f}s = {fps_x:.1f} f/s "
+        f"(detect {parts_x[0]:.2f}s match {parts_x[1]:.2f}s "
+        f"pnp {parts_x[2]:.2f}s)")
+
+    # accuracy vs simulator ground truth: of the dots the simulator says are
+    # in view, >=90% must be matched, with sub-half-pixel centers
+    both = visible & gt_visible
+    frac = both.sum() / max(gt_visible.sum(), 1)
+    err = np.linalg.norm(pixels[both] - gt_pixels[both], axis=1)
+    med = float(np.median(err)) if len(err) else np.inf
+    ok = frac >= 0.90 and med < 0.5
+    log(f"accuracy: matched {frac:.3f} of visible dots, "
+        f"median center err {med:.3f} px, ok={ok}")
+    if not ok:
+        fps = 0.0
+
+    print(json.dumps({
+        "metric": "detect_frames_per_s",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / max(fps_x, 1e-9), 2),
+    }))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
@@ -228,5 +364,7 @@ def main():
 if __name__ == "__main__":
     if "--config5" in sys.argv:
         config5()
+    elif "--detect" in sys.argv:
+        detect_bench()
     else:
         main()

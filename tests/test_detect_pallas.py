@@ -42,6 +42,42 @@ def test_kernel_matches_xla_path():
                                   np.asarray(comp_x) > 0)
 
 
+def test_pallas_engages_at_reference_resolution():
+    """The fused kernel must be *selected* at the vi_sim frame size.
+
+    Round 3's guard budgeted 14 MiB and silently fell back to the ~130-HBM-
+    pass XLA path at exactly 800x600 (padded 600x896); the guard now
+    reflects the measured v5e capacity (kernel verified on hardware up to
+    1536x2048).  Parity at this resolution is asserted in interpret mode —
+    the same kernel code Mosaic compiles on TPU.
+    """
+    from vicalib_tpu.detect.pallas_kernels import fits_vmem
+
+    # padded 800x600 (vi_sim, /root/reference/testing/vi_sim_test.cpp:18-21)
+    assert fits_vmem(600, 896)
+    # and well beyond — any realistic calibration video resolution
+    assert fits_vmem(1080, 1920)
+    assert not fits_vmem(4000, 6000)   # genuinely VMEM-bound -> XLA path
+
+    cfg = sim.default_mono_config(n_frames=1, model="linear",
+                                  distance=0.85, orbit_radius=0.4)
+    data = sim.simulate(cfg)
+    imgs = jnp.asarray(sim.render_frames(data, cam=0), jnp.float32)
+    assert imgs.shape[1:] == (600, 800), imgs.shape
+    padded, H, W = _pad_to_tiles(imgs)
+    radius = max(int(W / 30.0 / 2), 1)
+
+    from vicalib_tpu.detect.conics import _compact_labels_xla
+
+    params = ConicParams(cc_iters=64)
+    comp_x = _compact_labels_xla(padded, params, 0.9, radius)
+    mask_p, comp_p = threshold_and_label(padded, radius, 0.9, n_iters=64,
+                                         max_labels=params.max_conics,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(comp_p), np.asarray(comp_x))
+    assert int((np.asarray(comp_p) > 0).sum()) > 1000  # dots actually found
+
+
 def test_batched_backends_agree_on_conics():
     imgs = _frames()
     params = ConicParams(max_conics=256)
