@@ -1,0 +1,166 @@
+"""Independent CPU reference (scipy/numpy) vs the JAX solver.
+
+Two levels of cross-check (VERDICT r3 #3 — "no cross-check that
+residual/Jacobian conventions match a second implementation"):
+
+1. Residual-level: the plain-numpy reprojection and RK4 VI residuals
+   (solver/cpu_reference.py, no JAX code shared) must equal the production
+   residual functions to float64 round-off on identical inputs.  This pins
+   quaternion layout, SE3 log order, gravity model, window interpolation,
+   and the time-offset convention against a second implementation.
+2. Solve-level: scipy least_squares (TRF, sparse FD Jacobians) and the
+   fused JAX staged solver recover the simulated ground truth on the same
+   dataset within the vi_sim-class tolerances
+   (/root/reference/testing/vi_sim_test.cpp:7-10, scaled for the reduced
+   20-frame sequence), and agree with each other.
+"""
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from vicalib_tpu.io import sim
+from vicalib_tpu.solver import cpu_reference as cr
+
+
+@pytest.fixture(scope="module")
+def vi_data():
+    cfg = sim.default_mono_config(
+        n_frames=20, model="linear", imu=True, imu_rate=50.0,
+        frame_rate=10.0, gyro_bias=np.array([0.01, -0.02, 0.015]),
+        accel_bias=np.array([0.05, 0.02, -0.04]), pixel_noise=0.05,
+        time_offset=0.003)
+    data = sim.simulate(cfg)
+    vis = data.visible.copy()
+    vis[:, :, 1::2] = False          # thin dots: keeps scipy FD tractable
+    return cfg, data, vis
+
+
+def test_imu_residual_matches_jax(vi_data):
+    """numpy batched RK4 + SE3-log residual == preintegrate residual."""
+    import jax.numpy as jnp
+
+    from vicalib_tpu.imu.buffer import build_windows, gather_windows
+    from vicalib_tpu.imu import preintegrate
+
+    cfg, data, vis = vi_data
+    F = len(data.frame_times)
+    rng = np.random.default_rng(3)
+    # a state PERTURBED off ground truth — residuals must match off the
+    # optimum too, where convention errors can't hide
+    q_wk = np.asarray(data.T_wk[0]) + rng.normal(size=(F, 4)) * 0.01
+    q_wk /= np.linalg.norm(q_wk, axis=1, keepdims=True)
+    t_wk = np.asarray(data.T_wk[1]) + rng.normal(size=(F, 3)) * 0.01
+    v_w = np.asarray(data.v_w) + rng.normal(size=(F, 3)) * 0.05
+    bg = np.array([0.011, -0.018, 0.012])
+    ba = np.array([0.04, 0.03, -0.05])
+    g_dir = np.asarray(cfg.g_dir) + np.array([0.01, -0.02])
+    off = 0.0021
+
+    # numpy side
+    t_img, g, a = cr._windows_batch(data.imu_times, data.gyro, data.accel,
+                                    data.frame_times, off)
+    g_w = cr._gravity(g_dir)
+    q_e, p_e, v_e = cr._rk4_batch(t_img, g, a, q_wk[:-1], t_wk[:-1],
+                                  v_w[:-1], bg, ba, np.ones(6), g_w)
+    Rw = Rotation.from_quat(q_wk)
+    r_np = np.zeros((F - 1, 9))
+    for k in range(F - 1):
+        dR = Rotation.from_quat(q_e[k]) * Rw[k + 1].inv()
+        dt = p_e[k] - dR.apply(t_wk[k + 1])
+        r_np[k] = np.concatenate([cr._se3_log(dR, dt), v_e[k] - v_w[k + 1]])
+
+    # JAX side: same windows via the production window builder (slack 0 so
+    # the discrete intervals coincide), same state
+    win = build_windows(data.imu_times, data.frame_times, offset_guess=off,
+                        slack=0.0)
+    t_w, g_w2, a_w = gather_windows(data.imu_times, data.gyro, data.accel,
+                                    win["idx0"], win["n_slots"])
+    import jax
+
+    def one(k):
+        return preintegrate.imu_factor_residual(
+            (jnp.asarray(q_wk[k]), jnp.asarray(t_wk[k])),
+            jnp.asarray(v_w[k]),
+            (jnp.asarray(q_wk[k + 1]), jnp.asarray(t_wk[k + 1])),
+            jnp.asarray(v_w[k + 1]),
+            jnp.asarray(t_w[k]), jnp.asarray(g_w2[k]), jnp.asarray(a_w[k]),
+            jnp.asarray(win["start"][k]), jnp.asarray(win["end"][k]),
+            jnp.asarray(g_dir), jnp.asarray(bg), jnp.asarray(ba),
+            jnp.ones(6), jnp.asarray(off), True)
+
+    r_jax = np.stack([np.asarray(one(k)) for k in range(F - 1)])
+    np.testing.assert_allclose(r_np, r_jax, atol=5e-8)
+
+
+def test_visual_residual_matches_jax(vi_data):
+    import jax.numpy as jnp
+
+    from vicalib_tpu.solver.build import build_problem
+    from vicalib_tpu.solver.residuals import reproj_residuals
+
+    cfg, data, vis = vi_data
+    dataj, state = build_problem(
+        ["linear"], data.frame_times, data.pixels, vis,
+        cfg.target.circles_3d(), widths=[800], heights=[600],
+        dtype=jnp.float64)
+    # JAX residuals at the PnP-initialized state (points in front of the
+    # camera — the behind-camera guards differ between implementations)
+    r_jax = np.asarray(reproj_residuals(state, dataj.obs[0], 0, "linear"))
+
+    prob = cr.CpuVIProblem(data.frame_times, data.pixels, vis,
+                           cfg.target.circles_3d(), use_imu=False)
+    F = len(data.frame_times)
+    # np.array copies: scipy Rotation rejects JAX's read-only array views
+    x = prob.pack(np.array(state.q_wk), np.array(state.t_wk),
+                  np.zeros((F, 3)), [np.array(state.q_ck[0])],
+                  np.array(state.p_ck), [np.array(state.intr[0][:4])],
+                  np.zeros(2), np.zeros(3), np.zeros(3), 0.0)
+    r_np = prob.residuals(x, visual_only=True)
+    # production path masks invalid rows to zero but keeps them; numpy
+    # stacks only valid rows — compare the valid set
+    valid = np.asarray(dataj.obs[0].valid) > 0
+    r_jax_valid = r_jax[valid].ravel()
+    np.testing.assert_allclose(r_np, r_jax_valid, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_oracle_and_solver_agree(vi_data):
+    import jax.numpy as jnp
+
+    from vicalib_tpu.geometry import quat_np as qn
+    from vicalib_tpu.solver import StageFlags, run_staged
+    from vicalib_tpu.solver.build import build_problem
+
+    cfg, data, vis = vi_data
+    sol, wall, _ = cr.solve_cpu(
+        data.frame_times, data.pixels, vis, cfg.target.circles_3d(),
+        imu_times=data.imu_times, gyro=data.gyro, accel=data.accel,
+        T_ck0=[(cfg.cameras[0].T_ck[0], np.zeros(3))])
+
+    dataj, state = build_problem(
+        ["linear"], data.frame_times, data.pixels, vis,
+        cfg.target.circles_3d(), widths=[800], heights=[600],
+        imu_times=data.imu_times, gyro=data.gyro, accel=data.accel,
+        dtype=jnp.float64)
+    res = run_staged(state, dataj,
+                     StageFlags(calibrate_imu=True,
+                                optimize_time_offset=True))
+    st = res.state
+
+    # both against ground truth (vi_sim-class, scaled for 20 noisy frames)
+    for intr in (sol["intr"][0], np.asarray(st.intr[0][:4])):
+        np.testing.assert_allclose(intr, cfg.cameras[0].params[:4], atol=5)
+    for bg in (sol["bg"], np.asarray(st.biases[:3])):
+        np.testing.assert_allclose(bg, cfg.gyro_bias, atol=5e-3)
+    for off in (sol["off"], float(st.time_offset)):
+        assert abs(off - cfg.time_offset) < 1e-3, off
+    dq = qn.quat_mul(qn.inverse(np.asarray(cfg.cameras[0].T_ck[0])),
+                     np.asarray(st.q_ck[0]))
+    assert np.linalg.norm(qn.log(dq)) < 5e-3
+
+    # and against each other (same data, independent solvers)
+    np.testing.assert_allclose(sol["intr"][0], np.asarray(st.intr[0][:4]),
+                               atol=1.0)
+    np.testing.assert_allclose(sol["bg"], np.asarray(st.biases[:3]),
+                               atol=2e-3)
+    assert abs(sol["off"] - float(st.time_offset)) < 1e-3

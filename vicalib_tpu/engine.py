@@ -227,7 +227,9 @@ class VicalibEngine:
 
         def publish(chunk):
             stats.status = CalibrationStatus.OPTIMIZING
-            stats.total_mse = chunk.cost / max(chunk.n_frames, 1)
+            # same units as batch mode (cost / n_residuals, stages.py
+            # run_staged) so stats consumers can compare modes
+            stats.total_mse = chunk.cost / max(chunk.n_residuals, 1)
             stats.reprojection_error = [float(r) for r in chunk.cam_rmse]
             stats.num_iterations = chunk.iterations
             stats.ts = chunk.time_offset
@@ -270,6 +272,7 @@ class VicalibEngine:
         s = result.state
         result.state = s._replace(q_wk=s.q_wk[:F], t_wk=s.t_wk[:F],
                                   v_w=s.v_w[:F])
+        self._stream_data = cal._last_data   # for covariance log labels
         return result
 
     def run(self) -> EngineResult:
@@ -311,6 +314,14 @@ class VicalibEngine:
         model_names, preload = self._model_names(C)
         stats = CalibrationStats(C, status=CalibrationStatus.CAPTURING)
 
+        # multi-host: every process runs the engine; only the primary
+        # writes files (dist/multihost.is_primary) so co-located processes
+        # don't race on the same cwd outputs
+        import jax
+
+        from .dist.multihost import is_primary
+        write_outputs = jax.process_count() == 1 or is_primary()
+
         # ---- capture loop: gating + frame selection
         # (vicalib-engine.cc:497-555)
         accel_filter = BoxcarFilter(10, cfg.static_accel_threshold)
@@ -320,11 +331,21 @@ class VicalibEngine:
             and len(imu.times) else -np.inf
         imu_cursor = 0
 
+        # superframe association: channels may carry their own (de-dup'd)
+        # clocks; match by nearest stamp to channel 0, dropping frames any
+        # channel misses (vicalib-task.cc:612-678).  Index-aligned sources
+        # resolve to the identity mapping.
+        assoc_times, assoc_sel = sources.associate_channels(
+            camera, system=cfg.use_system_time)
+        if len(assoc_times) < camera.n_frames:
+            log.info("async channels: %d/%d superframes associated",
+                     len(assoc_times), camera.n_frames)
+
         sel_times = []
         sel_indices = []
         skipped = 0
-        for k in range(camera.n_frames):
-            t = camera.timestamp(k, system=cfg.use_system_time)
+        for k in range(len(assoc_times)):
+            t = float(assoc_times[k])
             if imu is not None and cfg.use_only_when_static:
                 while imu_cursor < len(imu.times) and \
                         imu.times[imu_cursor] + time_offset_guess <= t:
@@ -349,7 +370,10 @@ class VicalibEngine:
         if len(sel_times) < 2:
             raise RuntimeError("not enough usable frames")
         log.info("selected %d/%d frames", len(sel_times), camera.n_frames)
-        sel_images = [camera.read_batch(c, sel_indices) for c in range(C)]
+        sel_images = [camera.read_batch(
+            c, [int(assoc_sel[c][j]) for j in sel_indices])
+            for c in range(C)]
+        sel_indices = [int(assoc_sel[0][j]) for j in sel_indices]
 
         # ---- detection (vicalib-task.cc:247-368)
         F = len(sel_times)
@@ -364,9 +388,9 @@ class VicalibEngine:
             stats.num_frames_processed[c] = int(np.sum(vis.any(axis=1)))
         pixels = np.stack(pixels)
         visible = np.stack(visible)
-        if cfg.output_conics:
+        if cfg.output_conics and write_outputs:
             out_io.write_conics_csv("conics.csv", conic_rows_all)
-        if cfg.clip_good:
+        if cfg.clip_good and write_outputs:
             # -clip_good: log frames where every stream tracked
             # (vicalib-task.cc:283-296; hal::Logger proto -> native npz clip)
             good = visible.any(axis=2).all(axis=0)
@@ -414,10 +438,40 @@ class VicalibEngine:
                       refine_time_offset=(not cfg.use_system_time
                                           and cfg.find_time_offset
                                           and cfg.calibrate_imu))
-        data, state = build_problem(
-            model_names, np.asarray(sel_times), pixels, visible,
-            self.target.circles_3d(), widths=widths, heights=heights,
-            dtype=dtype, intr0=intr0, T_ck0=T_ck0, use_ransac=True, **kw)
+        if cfg.stream_chunk > 0:
+            # streaming does its own incremental problem builds — skip the
+            # full batch build (it was pure wasted cold-start cost at scale)
+            # but keep the time-offset refinement: PnP poses from a
+            # visual-only build, then raw-stream gyro/vision alignment, so
+            # streaming handles clock skew beyond the first-sample guess
+            # exactly like batch mode does.
+            for flag_set, name in ((cfg.n_shards > 1, "-n_shards"),
+                                   (cfg.remove_outliers, "-remove_outliers"),
+                                   (bool(cfg.checkpoint_file),
+                                    "-checkpoint_file"),
+                                   (bool(cfg.resume_file), "-resume_file")):
+                if flag_set:
+                    log.warning("%s is not supported with -stream_chunk — "
+                                "ignored", name)
+            data = state = None
+            if kw.get("refine_time_offset"):
+                from .solver.build import refine_offset_guess
+                _, state_v = build_problem(
+                    model_names, np.asarray(sel_times), pixels, visible,
+                    self.target.circles_3d(), widths=widths,
+                    heights=heights, dtype=dtype, intr0=intr0, T_ck0=T_ck0,
+                    use_ransac=True)
+                time_offset_guess = float(refine_offset_guess(
+                    np.asarray(sel_times), state_v.q_wk, imu.times,
+                    imu.gyro, time_offset_guess))
+                log.info("refined camera-IMU time offset guess: %.6f s",
+                         time_offset_guess)
+        else:
+            data, state = build_problem(
+                model_names, np.asarray(sel_times), pixels, visible,
+                self.target.circles_3d(), widths=widths, heights=heights,
+                dtype=dtype, intr0=intr0, T_ck0=T_ck0, use_ransac=True,
+                **kw)
 
         flags = StageFlags(
             calibrate_imu=cfg.calibrate_imu,
@@ -434,7 +488,7 @@ class VicalibEngine:
             from .dist import make_mesh
             mesh = make_mesh(cfg.n_shards)
         resume = False
-        if cfg.resume_file:
+        if cfg.resume_file and cfg.stream_chunk == 0:
             from .checkpoint import load_checkpoint
             state, saved_flags, meta = load_checkpoint(cfg.resume_file,
                                                        dtype=dtype)
@@ -454,13 +508,15 @@ class VicalibEngine:
                     cfg, model_names, sel_times, pixels, visible, imu,
                     widths, heights, dtype, options, time_offset_guess,
                     stats)
+                data = self._stream_data
             else:
                 result = run_staged(
                     state, data, flags, options,
                     do_remove_outliers=cfg.remove_outliers,
                     outlier_threshold=cfg.outlier_threshold,
                     gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
-                    checkpoint_path=cfg.checkpoint_file or None,
+                    checkpoint_path=(cfg.checkpoint_file or None)
+                    if write_outputs else None,
                     compute_cov=cfg.compute_covariance, mesh=mesh,
                     resume=resume)
         finally:
@@ -495,7 +551,7 @@ class VicalibEngine:
 
         # ---- result log (PrintResults analog, vicalibrator.h:536-544,
         # 1018-1021; -output_log_file)
-        if cfg.output_log_file:
+        if cfg.output_log_file and write_outputs:
             with open(cfg.output_log_file, "w") as f:
                 f.write("-" * 42 + "\n")
                 for c in range(C):
@@ -532,16 +588,17 @@ class VicalibEngine:
                             np.array2string(result.covariance, precision=4))
 
         # ---- outputs (vicalib-engine.cc:355-373, 406-422)
-        out_io.write_cameras_xml(
-            cfg.output, model_names, stats.cam_intrinsics,
-            stats.t_ck_vec, widths, heights,
-            calibrate_imu=cfg.calibrate_imu)
-        if cfg.print_poses:
-            good = visible.any(axis=(0, 2))
-            out_io.write_poses_txt("poses.txt", state.q_wk, state.t_wk,
-                                   good=good)
-        if cfg.save_poses:
-            out_io.write_poses_csv("poses.csv", state.q_wk, state.t_wk)
+        if write_outputs:
+            out_io.write_cameras_xml(
+                cfg.output, model_names, stats.cam_intrinsics,
+                stats.t_ck_vec, widths, heights,
+                calibrate_imu=cfg.calibrate_imu)
+            if cfg.print_poses:
+                good = visible.any(axis=(0, 2))
+                out_io.write_poses_txt("poses.txt", state.q_wk, state.t_wk,
+                                       good=good)
+            if cfg.save_poses:
+                out_io.write_poses_csv("poses.csv", state.q_wk, state.t_wk)
 
         return EngineResult(success=success, stats=stats, state=state,
                             result=result, model_names=model_names)

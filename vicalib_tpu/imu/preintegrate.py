@@ -112,11 +112,26 @@ def virtual_sequence(win_times, win_gyro, win_accel, start, end, time_offset):
     seq_times = jnp.clip(shifted, start, end)
     raw_query = seq_times - time_offset
 
-    def interp_channel(vals):
-        return jnp.interp(raw_query, win_times, vals)
-
-    seq_gyro = jax.vmap(interp_channel, in_axes=1, out_axes=1)(win_gyro)
-    seq_accel = jax.vmap(interp_channel, in_axes=1, out_axes=1)(win_accel)
+    # Piecewise-linear interpolation as a dense (M, M) weight matmul instead
+    # of jnp.interp: interp's searchsorted+gather lowering dominated the
+    # whole-problem assembly profile at config-5 scale (~90 ms of while
+    # loops and gather fusions over the (K, M) windows on a v5e); the
+    # weight-matrix form is a handful of vectorized compares plus one
+    # (M, M) x (M, 3) matmul per factor, and keeps the same edge-clamped
+    # values and the same a.e. derivative through ``time_offset``.
+    M = win_times.shape[0]
+    cnt = jnp.sum(raw_query[:, None] >= win_times[None, :], axis=1)
+    j = jnp.clip(cnt - 1, 0, M - 2)
+    oh = jax.nn.one_hot(j, M - 1, dtype=win_gyro.dtype)        # (M, M-1)
+    t_lo = oh @ win_times[:-1]
+    t_hi = oh @ win_times[1:]
+    denom = t_hi - t_lo
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    alpha = jnp.clip((raw_query - t_lo) / denom, 0.0, 1.0)     # (M,)
+    W = (jnp.pad(oh * (1.0 - alpha)[:, None], ((0, 0), (0, 1)))
+         + jnp.pad(oh * alpha[:, None], ((0, 0), (1, 0))))     # (M, M)
+    seq_gyro = W @ win_gyro
+    seq_accel = W @ win_accel
     return seq_times, seq_gyro, seq_accel
 
 

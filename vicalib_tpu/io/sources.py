@@ -83,21 +83,61 @@ class CameraSource:
 
     def __post_init__(self):
         self.files = [sorted(globlib.glob(g)) for g in self.channel_globs]
+        # Per-channel clocks: each channel's directory may carry its own
+        # timestamps.txt / system_times.txt (async multi-camera rigs where
+        # channels deliver at different times).  Repeated consecutive
+        # stamps within a channel are de-dup'd — the reference drops
+        # images whose timestamp did not advance
+        # (vicalib-task.cc:612-678, esp. 633-653).
+        self._ch_device = []
+        self._ch_system = []
+        for c, flist in enumerate(self.files):
+            nch = len(flist)
+            dev = sys_t = None
+            if flist:
+                tdir = os.path.dirname(flist[0])
+                tfile = os.path.join(tdir, "timestamps.txt")
+                if os.path.exists(tfile):
+                    dev = np.loadtxt(tfile).reshape(-1)[:nch]
+                sfile = os.path.join(tdir, "system_times.txt")
+                if os.path.exists(sfile):
+                    sys_t = np.loadtxt(sfile).reshape(-1)[:nch]
+            if dev is not None:
+                if len(dev) < nch:
+                    flist = flist[:len(dev)]
+                    nch = len(flist)
+                # de-dup repeated stamps (keep the first occurrence)
+                keep = np.ones(nch, dtype=bool)
+                if nch > 1:
+                    keep[1:] = np.diff(dev[:nch]) > 0
+                if not keep.all():
+                    flist = [f for f, k in zip(flist, keep) if k]
+                    dev = dev[:nch][keep]
+                    if sys_t is not None:
+                        sys_t = sys_t[:nch][keep]
+                dev = np.asarray(dev, dtype=np.float64)
+            self.files[c] = flist
+            # dev None = index clock (k / frame_rate), synthesized lazily
+            # so a post-construction frame_rate override still applies
+            self._ch_device.append(dev)
+            self._ch_system.append(None if sys_t is None
+                                   else np.asarray(sys_t, dtype=np.float64))
         n = min(len(f) for f in self.files) if self.files else 0
         self.n_frames = n
-        self._timestamps = None
-        self._system_times = None
-        if self.files and self.files[0]:
-            tdir = os.path.dirname(self.files[0][0])
-            tfile = os.path.join(tdir, "timestamps.txt")
-            if os.path.exists(tfile):
-                self._timestamps = np.loadtxt(tfile).reshape(-1)[:n]
-            # optional host/system clock stamps (the reference's
-            # image->system_time(), selected by -use_system_time,
-            # vicalib-task.cc:625-627); device clock lives in timestamps.txt
-            sfile = os.path.join(tdir, "system_times.txt")
-            if os.path.exists(sfile):
-                self._system_times = np.loadtxt(sfile).reshape(-1)[:n]
+        self._timestamps = (self._ch_device[0][:n]
+                            if self.files and self._ch_device[0] is not None
+                            else None)
+        self._system_times = (self._ch_system[0][:n]
+                              if self.files and self._ch_system[0] is not None
+                              else None)
+
+    def channel_stamps(self, c: int, system: bool = False) -> np.ndarray:
+        """Per-channel frame stamps (post de-dup), device or system clock."""
+        if system and self._ch_system[c] is not None:
+            return self._ch_system[c]
+        if self._ch_device[c] is not None:
+            return self._ch_device[c]
+        return np.arange(len(self.files[c])) / self.frame_rate
 
     @property
     def num_channels(self):
@@ -200,6 +240,13 @@ class DeinterlaceSource:
     def timestamp(self, k):
         return self.inner.timestamp(k)
 
+    def channel_stamps(self, c, system=False):
+        get = getattr(self.inner, "channel_stamps", None)
+        if get is not None:
+            return get(c // 2, system)
+        return np.array([self.inner.timestamp(k)
+                         for k in range(self.n_frames)])
+
     @staticmethod
     def _split(img):
         return img[0::2], img[1::2]
@@ -269,6 +316,13 @@ class RectifySource:
     def timestamp(self, k):
         return self.inner.timestamp(k)
 
+    def channel_stamps(self, c, system=False):
+        get = getattr(self.inner, "channel_stamps", None)
+        if get is not None:
+            return get(c, system)
+        return np.array([self.inner.timestamp(k)
+                         for k in range(self.n_frames)])
+
     @staticmethod
     def _remap(img, src):
         h, w = img.shape[:2]
@@ -295,6 +349,58 @@ class RectifySource:
     def __iter__(self):
         for k in range(self.n_frames):
             yield self.frame(k)
+
+
+def associate_channels(camera, system: bool = False, tol: float = None):
+    """Nearest-time superframe association for async multi-camera rigs.
+
+    The reference assembles superframes from channels that deliver at
+    different times, de-duping repeated stamps per channel and matching
+    images by timestamp (vicalib-task.cc:612-678).  Batch equivalent:
+    channel 0 is the reference clock; for every channel-0 frame, each other
+    channel contributes its nearest-stamp frame if it lies within ``tol``
+    (default: 45% of the median channel-0 frame interval); frames any
+    channel misses are dropped.
+
+    Returns (times (F,), sel (C, F) int32 per-channel frame indices).
+    Index-aligned sources (no per-channel stamps) come back as the
+    identity mapping.
+    """
+    C = camera.num_channels
+    get = getattr(camera, "channel_stamps", None)
+    if get is None or C == 1:
+        n = camera.n_frames
+        times = np.array([camera.timestamp(k, system) if _accepts_system(
+            camera) else camera.timestamp(k) for k in range(n)])
+        return times, np.tile(np.arange(n, dtype=np.int32), (C, 1))
+    ref = np.asarray(get(0, system), dtype=np.float64)
+    stamps = [np.asarray(get(c, system), dtype=np.float64)
+              for c in range(C)]
+    if all(len(s) == len(ref) and np.array_equal(s, ref) for s in stamps):
+        n = len(ref)
+        return ref, np.tile(np.arange(n, dtype=np.int32), (C, 1))
+    if tol is None:
+        tol = 0.45 * float(np.median(np.diff(ref))) if len(ref) > 1 else 0.05
+    sel = np.zeros((C, len(ref)), dtype=np.int32)
+    ok = np.ones(len(ref), dtype=bool)
+    sel[0] = np.arange(len(ref))
+    for c in range(1, C):
+        s = stamps[c]
+        j = np.clip(np.searchsorted(s, ref), 0, len(s) - 1)
+        j_lo = np.maximum(j - 1, 0)
+        pick = np.where(np.abs(s[j_lo] - ref) <= np.abs(s[j] - ref),
+                        j_lo, j)
+        sel[c] = pick
+        ok &= np.abs(s[pick] - ref) <= tol
+    return ref[ok], sel[:, ok]
+
+
+def _accepts_system(camera):
+    import inspect
+    try:
+        return "system" in inspect.signature(camera.timestamp).parameters
+    except (TypeError, ValueError):
+        return False
 
 
 def parse_camera_uri(uri: str) -> CameraSource:

@@ -48,18 +48,37 @@ def _seg_sum(x, idx, n):
     return jax.ops.segment_sum(x, idx, num_segments=n)
 
 
+# Safety valve / benchmarking switch: when False, frame-major problems use
+# the reverse-mode per-frame-einsum path instead of the analytic Gram.
+import os as _os
+
+GRAM_ENABLED = _os.environ.get("VICALIB_GRAM", "1") != "0"
+
+
+def _frame_major_max():
+    from .residuals import FRAME_MAJOR_MAX_F
+    return FRAME_MAJOR_MAX_F
+
+
 def robust_costs(state: CalibState, data: ProblemData, weight_sqrt,
                  inertial_scale, rotation_only,
                  reproj_loss=SoftL1(0.5), imu_loss=Cauchy(100.0)):
     """Total robust cost (0.5 * sum rho(|r|^2), the Ceres convention) plus
     per-camera raw squared-error sums for RMSE reporting
     (reference: vicalibrator.h:959-971 evaluates without loss)."""
+    from .residuals import FRAME_MAJOR_MAX_F, reproj_frame_sq
+
     cost = jnp.zeros((), state.t_wk.dtype)
     cam_sq = []
     cam_cnt = []
     for c, obs in enumerate(data.obs):
-        r = reproj_residuals(state, obs, c, data.layout.model_names[c])
-        s = jnp.sum(r * r, axis=1)
+        if obs.points_per_frame is not None and \
+                data.n_frames <= FRAME_MAJOR_MAX_F:
+            s = reproj_frame_sq(state, obs, c,
+                                data.layout.model_names[c]).reshape(-1)
+        else:
+            r = reproj_residuals(state, obs, c, data.layout.model_names[c])
+            s = jnp.sum(r * r, axis=1)
         cost = cost + 0.5 * jnp.sum(reproj_loss.rho(s))
         cam_sq.append(jnp.sum(s))
         cam_cnt.append(jnp.sum(jnp.asarray(obs.valid)))
@@ -99,35 +118,39 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
     gs = jnp.zeros((S,), dtype)
     cost = jnp.zeros((), dtype)
     n_res = jnp.zeros((), dtype)
+    # column-stripe build of Hfs (cameras then the 15 inertial columns are
+    # contiguous in SharedLayout): concatenation instead of
+    # dynamic-update-slice scatters — profiling at config-5 scale showed
+    # the .at[].add writes into the (F, 9, S) zeros costing ~35 ms/call
+    hfs_stripes = [None] * len(data.obs)
 
     for c, obs in enumerate(data.obs):
         c0 = int(layout.cam_rot[c])
         ncols = 6 + int(layout.n_intr[c])
         P = obs.points_per_frame
-        # The forward-mode Gram path is ~2.6x faster per assembly, but at
-        # multi-million-observation scale the fused solver program holding
-        # its (F, k, P, 2) forward intermediates alongside the while-loop
-        # state crashes the TPU worker (HBM pressure); cap it and fall back
-        # to the per-observation reverse-mode path beyond.
-        if P is not None and F * P <= 1_000_000:
-            # frame-major regular layout: FORWARD-mode per-frame jacobians
-            # (point axis minor end to end — no layout-transpose copies)
-            # plus one batched Gram matmul per frame; see
-            # residuals.reproj_frame_gram.
-            from .residuals import reproj_frame_gram
+        if P is not None and GRAM_ENABLED and F <= _frame_major_max():
+            # frame-major regular layout: analytic-geometry per-frame
+            # jacobians (point axis minor end to end — no layout-transpose
+            # copies) plus one batched Gram matmul per frame; see
+            # residuals.reproj_frame_gram_fast.  Chunked internally above
+            # ~2k frames so live intermediates stay bounded (the r3
+            # HBM-pressure crash that capped this path is gone); serves
+            # every regular layout including config 5 (4 cam x 10k frames).
+            from .residuals import reproj_frame_gram_fast
 
             col_mask = jnp.concatenate(
                 [frame_mask[:, :6],
                  jnp.broadcast_to(shared_mask[c0:c0 + ncols],
                                   (F, ncols))], axis=1)
-            s, G = reproj_frame_gram(state, obs, c,
-                                     layout.model_names[c],
-                                     col_mask, reproj_loss)
+            s, G = reproj_frame_gram_fast(state, obs, c,
+                                          layout.model_names[c],
+                                          col_mask, reproj_loss)
             n_res = n_res + jnp.sum(jnp.asarray(obs.valid))
             cost = cost + 0.5 * jnp.sum(reproj_loss.rho(s))
-            D = D.at[:, :6, :6].add(G[:, :6, :6])
-            gf = gf.at[:, :6].add(G[:, :6, -1])
-            Hfs = Hfs.at[:, :6, c0:c0 + ncols].add(G[:, :6, 6:6 + ncols])
+            D = D + jnp.pad(G[:, :6, :6], ((0, 0), (0, 3), (0, 3)))
+            gf = gf + jnp.pad(G[:, :6, -1], ((0, 0), (0, 3)))
+            hfs_stripes[c] = jnp.pad(G[:, :6, 6:6 + ncols],
+                                     ((0, 0), (0, 3), (0, 0)))
             Gs = jnp.sum(G, axis=0)
             Hss = Hss.at[c0:c0 + ncols, c0:c0 + ncols].add(
                 Gs[6:6 + ncols, 6:6 + ncols])
@@ -181,6 +204,7 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
                 jnp.einsum("nri,nrj->ij", Js, Js))
             gs = gs.at[c0:c0 + ncols].add(jnp.einsum("nri,nr->i", Js, r))
 
+    imu_stripe = None
     if data.imu is not None:
         r, J1, J2, Jsh = imu_residuals_and_jacobians(
             state, data.imu, weight_sqrt, rotation_only)
@@ -208,13 +232,19 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
             # matmul.
             J_aug = jnp.concatenate([J1, J2, Jsh, r[:, :, None]], axis=2)
             G = jnp.einsum("kri,krj->kij", J_aug, J_aug)
-            D = D.at[:-1].add(G[:, :9, :9])
-            D = D.at[1:].add(G[:, 9:18, 9:18])
+            # shifted frame accumulation by concatenation (factor k couples
+            # frames k, k+1) — contiguous copies, no update-slice scatters
+            z199 = jnp.zeros((1, 9, 9), dtype)
+            z19 = jnp.zeros((1, 9), dtype)
+            z1915 = jnp.zeros((1, 9, 15), dtype)
+            D = D + jnp.concatenate([G[:, :9, :9], z199], axis=0) \
+                + jnp.concatenate([z199, G[:, 9:18, 9:18]], axis=0)
             U = U + G[:, :9, 9:18]
-            gf = gf.at[:-1].add(G[:, :9, -1])
-            gf = gf.at[1:].add(G[:, 9:18, -1])
-            Hfs = Hfs.at[:-1, :, i0:i0 + 15].add(G[:, :9, 18:33])
-            Hfs = Hfs.at[1:, :, i0:i0 + 15].add(G[:, 9:18, 18:33])
+            gf = gf + jnp.concatenate([G[:, :9, -1], z19], axis=0) \
+                + jnp.concatenate([z19, G[:, 9:18, -1]], axis=0)
+            imu_stripe = (
+                jnp.concatenate([G[:, :9, 18:33], z1915], axis=0)
+                + jnp.concatenate([z1915, G[:, 9:18, 18:33]], axis=0))
             Gs = jnp.sum(G, axis=0)
             Hss = Hss.at[i0:i0 + 15, i0:i0 + 15].add(Gs[18:33, 18:33])
             gs = gs.at[i0:i0 + 15].add(Gs[18:33, -1])
@@ -232,6 +262,18 @@ def assemble(state: CalibState, data: ProblemData, weight_sqrt,
             Hss = Hss.at[i0:i0 + 15, i0:i0 + 15].add(
                 jnp.einsum("kri,krj->ij", Jsh, Jsh))
             gs = gs.at[i0:i0 + 15].add(jnp.einsum("kri,kr->i", Jsh, r))
+
+    # merge the column stripes into Hfs (cameras left-to-right, then the 15
+    # inertial columns — SharedLayout is contiguous in exactly this order)
+    if any(st is not None for st in hfs_stripes) or imu_stripe is not None:
+        parts = []
+        for c, obs in enumerate(data.obs):
+            ncols = 6 + int(layout.n_intr[c])
+            parts.append(hfs_stripes[c] if hfs_stripes[c] is not None
+                         else jnp.zeros((F, 9, ncols), dtype))
+        parts.append(imu_stripe if imu_stripe is not None
+                     else jnp.zeros((F, 9, 15), dtype))
+        Hfs = Hfs + jnp.concatenate(parts, axis=2)
 
     # pin masked coordinates: unit diagonal, zero gradient (already zero)
     eye9 = jnp.eye(9, dtype=dtype)

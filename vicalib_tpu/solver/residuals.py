@@ -69,6 +69,28 @@ class ImuFactors:
     slack: float = 0.0
 
 
+# Frame-chunking knobs for the Gram assembly paths (reproj_frame_gram /
+# reproj_frame_gram_fast): at or above 2*GRAM_CHUNK frames, frames are
+# processed in lax.scan chunks of GRAM_CHUNK to bound live intermediates.
+# Env overrides for benchmarking/debugging.
+import os as _os
+
+GRAM_CHUNK = int(_os.environ.get("VICALIB_GRAM_CHUNK", "2048"))
+GRAM_CHUNK_ABOVE_ROWS = 1_000_000
+
+# Empirical XLA:TPU fault guard (v5e, jax 0.9): fused solver programs whose
+# frame-major (F, P, ...) geometry chains run at F >= ~10k leave the device
+# in a state where the NEXT program dies with a kernel fault — bisected to
+# the frame-major paths specifically (both the analytic Gram and the
+# frame-major cost primal trigger it independently; the flat
+# per-observation paths, the dense-interp IMU windows, and the
+# concatenation-based accumulation never do, and everything is clean at
+# F = 8192).  Above this frame count the solver falls back to the
+# per-observation reverse-mode assembly, which is slower (~3x at config-5
+# scale) but proven at 10k+ frames.
+FRAME_MAJOR_MAX_F = int(_os.environ.get("VICALIB_FRAME_MAJOR_MAX", "8192"))
+
+
 # ----------------------------------------------------------------- reprojection
 def _reproj_one(model, q_wk, t_wk, q_ck, p_ck, intr, p_w, p_c,
                 dx_pose, dx_rot, dx_trans, dx_intr):
@@ -165,14 +187,151 @@ def reproj_frame_gram(state: CalibState, obs: CameraObs, cam: int,
         G = jnp.einsum("ipa,jpa->ij", J_aug, J_aug)         # (k+1, k+1)
         return s, G
 
-    # NOTE: a lax.map(batch_size=...) chunking here trips an XLA:TPU
-    # tiling CHECK (signal 6, "second_minor_factor") at 10k-frame shapes;
-    # plain vmap compiles and runs — the (F, k, 2, P) forward-mode
-    # intermediates stay within HBM because the Gram consumes them in the
-    # same fusion.
-    s, G = jax.vmap(lambda qw, tw, pw, pc, v, m: per_frame(
-        (qw, tw, pw, pc, v, m)))(
-        state.q_wk, state.t_wk, pw_f, pc_f, valid_f, col_mask)
+    vper = jax.vmap(lambda qw, tw, pw, pc, v, m: per_frame(
+        (qw, tw, pw, pc, v, m)))
+    args = (state.q_wk, state.t_wk, pw_f, pc_f, valid_f, col_mask)
+
+    # Bound the live (chunk, k+1, P, 2) forward intermediates: above ~1M
+    # observation rows a single full-width vmap keeps hundreds of MB of
+    # forward-mode temporaries alive alongside the fused solver's while-loop
+    # state and crashes the TPU worker (HBM pressure; BASELINE.md r3).
+    # lax.scan over frame chunks caps that at chunk*(k+1)*P*2 floats.  A
+    # lax.map(batch_size=...) would do the same but trips an XLA:TPU tiling
+    # CHECK ("second_minor_factor") at 10k-frame shapes — the manual
+    # reshape-scan with a vmapped tail for the non-divisible remainder
+    # compiles clean (verified on a real v5e at F=10240, C=4).
+    CHUNK = GRAM_CHUNK
+    if F * P <= GRAM_CHUNK_ABOVE_ROWS or F < 2 * CHUNK:
+        return vper(*args)
+
+    nc, rem = divmod(F, CHUNK)
+    head = jax.tree_util.tree_map(
+        lambda a: a[:nc * CHUNK].reshape((nc, CHUNK) + a.shape[1:]), args)
+    _, (s_h, G_h) = jax.lax.scan(
+        lambda _, ch: (None, vper(*ch)), None, head)
+    s = s_h.reshape((nc * CHUNK,) + s_h.shape[2:])
+    G = G_h.reshape((nc * CHUNK,) + G_h.shape[2:])
+    if rem:
+        s_t, G_t = vper(*jax.tree_util.tree_map(
+            lambda a: a[nc * CHUNK:], args))
+        s = jnp.concatenate([s, s_t], axis=0)
+        G = jnp.concatenate([G, G_t], axis=0)
+    return s, G
+
+
+def reproj_frame_sq(state: CalibState, obs: CameraObs, cam: int,
+                    model_name: str):
+    """(F, P) masked squared reprojection errors — frame-major primal.
+
+    The cost-only evaluation the LM loop runs per damping candidate; the
+    per-observation path's (N, small) layouts cost ~100 ms/camera at
+    config-5 scale where this form is ~2 ms (same arithmetic)."""
+    model = get_model(model_name)
+    P = obs.points_per_frame
+    F = state.t_wk.shape[0]
+    pw_f = jnp.asarray(obs.p_w).reshape(F, P, 3)
+    pc_f = jnp.asarray(obs.p_c).reshape(F, P, 2)
+    valid_f = jnp.asarray(obs.valid).reshape(F, P)
+    intr = state.intr[cam][:model.n_params]
+    R_ck = so3.to_matrix(state.q_ck[cam])
+    p_ck = state.p_ck[cam]
+
+    def per_frame(qw, tw, pw, pc, valid):
+        R_wk = so3.to_matrix(qw)
+        p_k = (pw - tw) @ R_wk
+        p_cam = p_k @ R_ck.T + p_ck
+        r = (model.project(p_cam, intr) - pc) * valid[:, None]
+        return jnp.sum(r * r, axis=1)
+
+    return jax.vmap(per_frame)(state.q_wk, state.t_wk, pw_f, pc_f, valid_f)
+
+
+def reproj_frame_gram_fast(state: CalibState, obs: CameraObs, cam: int,
+                           model_name: str, col_mask, reproj_loss):
+    """Analytic-geometry frame-major Gram assembly — the large-scale path.
+
+    Same contract as :func:`reproj_frame_gram` (s (F, P), G (F, k+1, k+1))
+    but with the jacobian chain split by hand: the model-independent
+    geometry derivatives (pose / extrinsic tangents) are closed-form
+    elementwise expressions with the point axis minor, and only the camera
+    model's 2-D projection is differentiated (per-point forward mode, a
+    ~30-flop function).  The autodiff paths evaluate the full
+    world->pixel chain once per tangent seed (17x primal for k=16) or once
+    per residual row (reverse); this computes it exactly once.  Measured at
+    config-5 scale (F=10240, C=4, one v5e): ~4x faster than the
+    reverse-mode per-frame-einsum assembly, ~12x faster than the
+    forward-mode Gram.
+
+    Derivation (right-multiplicative retractions, tangent [u(3), w(3)]):
+      T_wk' = T_wk exp([u, w])  =>  p_k = R_wk^T (p_w - t_wk) perturbs as
+      dp_k = -u + p_k x w, so  dp_c/du = -R_ck,  dp_c/dw = R_ck hat(p_k).
+      q_ck' = q_ck exp(w_c)     =>  dp_c/dw_c = -R_ck hat(p_k) = -dp_c/dw.
+      dp_c/dp_ck = I.  With A = dpi/dp_c and B = A R_ck:
+      J = [ -B | B hat(p_k) | -B hat(p_k) | A | dpi/dintr ].
+    """
+    model = get_model(model_name)
+    n_intr = model.n_params
+    P = obs.points_per_frame
+    dtype = state.t_wk.dtype
+    F = state.t_wk.shape[0]
+    pw_f = jnp.asarray(obs.p_w).reshape(F, P, 3)
+    pc_f = jnp.asarray(obs.p_c).reshape(F, P, 2)
+    valid_f = jnp.asarray(obs.valid).reshape(F, P)
+    k = 12 + n_intr
+    intr = state.intr[cam][:n_intr]
+    R_ck = so3.to_matrix(state.q_ck[cam])
+    p_ck = state.p_ck[cam]
+
+    # per-point projection jacobians (the only autodiff left)
+    pi = lambda p, it: model.project(p, it)
+    pi_jac = jax.vmap(jax.jacfwd(pi, argnums=(0, 1)), in_axes=(0, None))
+
+    def per_frame(qw, tw, pw, pc, valid, cmask):
+        R_wk = so3.to_matrix(qw)
+        p_k = (pw - tw) @ R_wk                     # (P,3) = R_wk^T (pw-tw)
+        p_cam = p_k @ R_ck.T + p_ck
+        r = (model.project(p_cam, intr) - pc) * valid[:, None]   # (P,2)
+        s = jnp.sum(r * r, axis=1)
+        w = reproj_loss.weight(s) * valid
+
+        A_p, Ji_p = pi_jac(p_cam, intr)            # (P,2,3), (P,2,n)
+        A = jnp.transpose(A_p, (1, 2, 0))          # (2,3,P) point-minor
+        Ji = jnp.transpose(Ji_p, (1, 2, 0))        # (2,n,P)
+        B = jnp.einsum("iap,ab->ibp", A, R_ck)     # dpi/dp_k
+        px, py, pz = p_k[:, 0], p_k[:, 1], p_k[:, 2]
+        Bx, By, Bz = B[:, 0], B[:, 1], B[:, 2]     # (2,P) each
+        # B @ hat(p_k): column c is B (p_k x e_c)
+        BH = jnp.stack([By * pz - Bz * py,
+                        Bz * px - Bx * pz,
+                        Bx * py - By * px], axis=1)  # (2,3,P)
+        J = jnp.concatenate([-B, BH, -BH, A, Ji], axis=1)  # (2,k,P)
+        J = jnp.transpose(J, (1, 0, 2))            # (k,2,P)
+        J_aug = jnp.concatenate(
+            [J * cmask[:, None, None],
+             jnp.transpose(r, (1, 0))[None]], axis=0)      # (k+1,2,P)
+        J_aug = (J_aug * w[None, None, :]).reshape(k + 1, 2 * P)
+        G = jnp.dot(J_aug, J_aug.T,
+                    preferred_element_type=dtype)          # (k+1,k+1)
+        return s, G
+
+    vper = jax.vmap(per_frame)
+    args = (state.q_wk, state.t_wk, pw_f, pc_f, valid_f, col_mask)
+    CHUNK = GRAM_CHUNK
+    if F < 2 * CHUNK:
+        return vper(*args)
+    # bound intermediates at scale exactly like reproj_frame_gram
+    nc, rem = divmod(F, CHUNK)
+    head = jax.tree_util.tree_map(
+        lambda a: a[:nc * CHUNK].reshape((nc, CHUNK) + a.shape[1:]), args)
+    _, (s_h, G_h) = jax.lax.scan(
+        lambda _, ch: (None, vper(*ch)), None, head)
+    s = s_h.reshape((nc * CHUNK,) + s_h.shape[2:])
+    G = G_h.reshape((nc * CHUNK,) + G_h.shape[2:])
+    if rem:
+        s_t, G_t = vper(*jax.tree_util.tree_map(
+            lambda a: a[nc * CHUNK:], args))
+        s = jnp.concatenate([s, s_t], axis=0)
+        G = jnp.concatenate([G, G_t], axis=0)
     return s, G
 
 

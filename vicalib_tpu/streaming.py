@@ -41,6 +41,7 @@ class ChunkResult:
     capacity: int                  # padded problem size solved
     cam_rmse: np.ndarray
     cost: float
+    n_residuals: int               # residual count behind ``cost``
     iterations: int
     time_offset: float
     wall_s: float
@@ -188,7 +189,9 @@ class StreamingCalibrator:
         self._last_flags = flags
         chunk = ChunkResult(
             n_frames=F, capacity=cap, cam_rmse=result.cam_rmse,
-            cost=result.info.cost, iterations=result.total_iterations,
+            cost=result.info.cost,
+            n_residuals=int(result.info.n_residuals),
+            iterations=result.total_iterations,
             time_offset=float(result.state.time_offset),
             wall_s=time.time() - t0, state=result.state)
         self.results.append(chunk)
