@@ -334,6 +334,148 @@ def detect_bench():
     }))
 
 
+def e2e_bench():
+    """End-to-end IMAGE-IN profile at scale (VERDICT r3 #6): 4-camera rig,
+    512 frames/cam = 2048 rendered 800x600 frames, through TPU detection ->
+    native C++ grid matching -> problem build (PnP + IMU windows) -> full
+    staged VI solve.  Publishes the wall-clock breakdown (where does
+    image-in time actually go?) so the SURVEY section-7 contingency
+    (device-side grid association only if it dominates) is decided by a
+    measurement.  Run: ``python bench.py --e2e``; results in BASELINE.md.
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    from vicalib_tpu.detect.conics import ConicParams, find_conics_batch
+    from vicalib_tpu.geometry import se3
+    from vicalib_tpu.io import native as native_io
+    from vicalib_tpu.io import sim
+    from vicalib_tpu.solver import StageFlags, run_staged
+    from vicalib_tpu.solver.build import build_problem
+
+    F = int(os.environ.get("E2E_FRAMES", "512"))
+    C = 4
+    CHUNK = 32
+    log("devices:", jax.devices(), f"rig: {C} cams x {F} frames")
+
+    cfg = sim.default_multicam_vi_config(
+        n_cams=C, n_frames=F, model="linear", imu_rate=100.0,
+        frame_rate=10.0, distance=0.35, orbit_radius=0.12,
+        gyro_bias=np.array([0.01, -0.02, 0.015]),
+        accel_bias=np.array([0.05, 0.02, -0.04]))
+    cache = f"/tmp/vicalib_e2e_{C}x{F}_v1.npz"
+    t0 = time.time()
+    if os.path.exists(cache):
+        z = np.load(cache)
+        frames = [z[f"cam{c}"] for c in range(C)]
+        data_sim = sim.SimData(
+            config=cfg, frame_times=z["frame_times"],
+            T_wk=(z["q_wk"], z["t_wk"]), v_w=z["v_w"], pixels=z["pixels"],
+            visible=z["visible"], imu_times=z["imu_times"], gyro=z["gyro"],
+            accel=z["accel"], points_3d=z["points_3d"])
+    else:
+        data_sim = sim.simulate(cfg)
+        frames = [np.asarray(sim.render_frames(data_sim, cam=c))
+                  for c in range(C)]
+        np.savez(cache, frame_times=data_sim.frame_times,
+                 q_wk=data_sim.T_wk[0], t_wk=data_sim.T_wk[1],
+                 v_w=data_sim.v_w, pixels=data_sim.pixels,
+                 visible=data_sim.visible, imu_times=data_sim.imu_times,
+                 gyro=data_sim.gyro, accel=data_sim.accel,
+                 points_3d=data_sim.points_3d,
+                 **{f"cam{c}": frames[c] for c in range(C)})
+    log(f"frames ready ({C}x{frames[0].shape}, {time.time() - t0:.1f}s)")
+    target = cfg.target
+    p3d = target.circles_3d()
+    P = p3d.shape[0]
+    params = ConicParams(max_conics=512)
+
+    def once():
+        t = {}
+        # --- detection (TPU, fused Pallas kernel; async chunk dispatch)
+        t0 = time.time()
+        dets = {c: [] for c in range(C)}
+        for c in range(C):
+            for i in range(0, F, CHUNK):
+                imgs = jnp.asarray(frames[c][i:i + CHUNK])
+                dets[c].append(find_conics_batch(imgs, params,
+                                                 backend="auto"))
+        dets = {c: [jax.device_get(d) for d in dets[c]] for c in range(C)}
+        t["detect"] = time.time() - t0
+        # --- grid association (host, threaded C++ matcher)
+        t0 = time.time()
+        pixels = np.zeros((C, F, P, 2))
+        visible = np.zeros((C, F, P), dtype=bool)
+        for c in range(C):
+            for ci, i in enumerate(range(0, F, CHUNK)):
+                det = dets[c][ci]
+                batch = native_io.match_grid_batch(
+                    det["center"], det["radius"], det["valid"], target.grid)
+                for k in range(det["center"].shape[0]):
+                    if batch is None or int(batch[0][k]) < 0:
+                        continue
+                    gc = batch[1][k]
+                    sel = gc[:, 0] >= 0
+                    gidx = gc[sel, 1] * target.cols + gc[sel, 0]
+                    pixels[c, i + k, gidx] = det["center"][k][sel]
+                    visible[c, i + k, gidx] = True
+        t["match"] = time.time() - t0
+        # --- problem build (PnP init + IMU windows)
+        t0 = time.time()
+        data, state = build_problem(
+            ["linear"] * C, data_sim.frame_times, pixels, visible, p3d,
+            widths=[800] * C, heights=[600] * C,
+            imu_times=data_sim.imu_times, gyro=data_sim.gyro,
+            accel=data_sim.accel, window_slack=0.05, dtype=jnp.float32,
+            use_ransac=True)
+        jax.block_until_ready(state.t_wk)
+        t["build"] = time.time() - t0
+        # --- staged solve
+        t0 = time.time()
+        result = run_staged(state, data,
+                            StageFlags(calibrate_imu=True,
+                                       optimize_time_offset=True))
+        t["solve"] = time.time() - t0
+        return t, result, visible
+
+    once()                                     # warmup (compiles)
+    runs = [once() for _ in range(3)]
+    med = {k: float(np.median([r[0][k] for r in runs]))
+           for k in runs[0][0]}
+    total = sum(med.values())
+    result = runs[-1][1]
+    visible = runs[-1][2]
+    fps = F / total
+    log(f"breakdown (median of 3, {C * F} rendered frames): " +
+        " ".join(f"{k}={v:.2f}s" for k, v in med.items()) +
+        f"; total {total:.2f}s = {fps:.1f} rig-frames/s "
+        f"({C * fps:.1f} images/s)")
+    log(f"matched dots: {visible.sum()} "
+        f"({visible.sum() / (C * F * P):.3f} of capacity)")
+
+    errs = []
+    for c in range(C):
+        true_T = (jnp.asarray(cfg.cameras[c].T_ck[0], jnp.float32),
+                  jnp.asarray(cfg.cameras[c].T_ck[1], jnp.float32))
+        est_T = (result.state.q_ck[c], result.state.p_ck[c])
+        errs.append(float(np.linalg.norm(
+            np.asarray(se3.log(se3.mul(est_T, se3.inverse(true_T)))))))
+    # rmse floor is set by detection (~0.2 px median center error), not by
+    # injected pixel noise as in the simulated-detection benches
+    ok = max(errs) < 2e-3 and float(max(result.cam_rmse)) < 0.35
+    log(f"accuracy: T_ck errs {['%.2e' % e for e in errs]} "
+        f"rmse {result.cam_rmse} ok={ok}")
+    if not ok:
+        fps = 0.0
+    print(json.dumps({
+        "metric": "e2e_image_frames_per_s",
+        "value": round(fps, 2),
+        "unit": "rig-frames/s",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_S, 2),
+    }))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
@@ -430,5 +572,7 @@ if __name__ == "__main__":
         detect_bench()
     elif "--baseline-cpu" in sys.argv:
         baseline_cpu()
+    elif "--e2e" in sys.argv:
+        e2e_bench()
     else:
         main()

@@ -410,6 +410,19 @@ def shared_covariance(state: CalibState, data: ProblemData,
     from .schur import tridiag_solve
     from .weights import imu_weights
 
+    # Always computed in float64: the reduced system's conditioning
+    # (~1e12) exceeds float32 — measured on the f32 path, variances came
+    # out orders of magnitude too small because the stabilizing jitter
+    # dominates the true small-curvature directions.  One assemble + one
+    # small inverse at the very end of a calibration is off the hot path,
+    # so the f64 cost (emulated on TPU) is irrelevant.
+    if state.t_wk.dtype != jnp.float64 and jax.config.jax_enable_x64:
+        up = lambda x: (x.astype(jnp.float64)
+                        if hasattr(x, "dtype")
+                        and jnp.issubdtype(x.dtype, jnp.floating) else x)
+        state = jax.tree_util.tree_map(up, state)
+        data = jax.tree_util.tree_map(up, data)
+
     dtype = state.t_wk.dtype
     fmask = frame_mask(flags, data.n_frames, dtype)
     smask = shared_mask(data.layout, flags, dtype)
@@ -428,7 +441,18 @@ def shared_covariance(state: CalibState, data: ProblemData,
         jnp.asarray(flags.rotation_only))
     S = Hss.shape[0]
     eye = jnp.eye(D.shape[1], dtype=dtype)
-    D = D + 1e-12 * eye[None]
+    # relative jitter on the frame blocks and unit-diagonal scaling of the
+    # reduced system: the absolute 1e-12 terms used before are below f32
+    # resolution against O(1e4) Gauss-Newton entries, making the inversion
+    # float64-only (same treatment as weights.py:68-79)
+    eps = 1e-6 if dtype == jnp.float32 else 1e-12
+    dscale_f = jnp.maximum(jnp.einsum("fii->fi", D), 1e-20)
+    D = D + eps * dscale_f[:, :, None] * eye[None]
     X = tridiag_solve(D, U, Hfs)
     S_red = Hss - jnp.einsum("fis,fit->st", Hfs, X)
-    return np.asarray(jnp.linalg.inv(S_red + 1e-12 * jnp.eye(S, dtype=dtype)))
+    d = jnp.maximum(jnp.diag(S_red), 1e-20)
+    dscale = 1.0 / jnp.sqrt(d)
+    S_scaled = (S_red * dscale[:, None] * dscale[None, :]
+                + eps * jnp.eye(S, dtype=dtype))
+    inv_scaled = jnp.linalg.inv(S_scaled)
+    return np.asarray(inv_scaled * dscale[:, None] * dscale[None, :])
