@@ -529,11 +529,12 @@ def main():
     warm = time.time() - t0
     log(f"warmup (incl. compile): {warm:.1f}s; stages: {result.stages_run}")
 
-    # measured: median of 3 runs (compile cached); the remote-TPU tunnel
-    # adds tens of ms of per-transfer latency jitter, so a single run can
-    # swing ~15% — the median is the reproducible headline number
+    # measured: median of 5 runs (compile cached); the remote-TPU tunnel
+    # adds tens of ms of per-transfer latency jitter — at r4 speeds one
+    # run is ~0.2 s, so +-40 ms of latency swings single runs 20%+; the
+    # median of 5 is the reproducible headline number
     walls = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.time()
         result = run_once()
         walls.append(time.time() - t0)

@@ -241,3 +241,78 @@ def test_native_loader_roundtrip(tmp_path):
     np.testing.assert_array_equal(batch, np.stack(imgs))
     one = native.read_pgm(paths[0])
     np.testing.assert_array_equal(one, imgs[0])
+
+
+def test_engine_async_stereo_channels(tmp_path):
+    """A stereo rig whose channels deliver on their own clocks — one frame
+    dropped and one stamp duplicated in channel 1, stamps jittered ~2 ms —
+    must still associate superframes by nearest time and calibrate
+    (vicalib-task.cc:612-678 per-channel de-dup; VERDICT r3 #5)."""
+    import numpy as np
+
+    from vicalib_tpu.io import sim, sources
+
+    cfg = sim.default_stereo_vi_config(n_frames=24, model="linear",
+                                       distance=0.40, orbit_radius=0.2)
+    for cam in cfg.cameras:
+        cam.params[:4] = [240.0, 240.0, 200.0, 150.0]
+        cam.width, cam.height = 400, 300
+        # visual-only stereo: drop the RDF IMU convention so extrinsics
+        # are the plain stereo baseline (close distance keeps the dots
+        # above the conic_min_area=4 px^2 detection filter)
+    cfg.cameras[0].T_ck = (np.array([0.0, 0.0, 0.0, 1.0]), np.zeros(3))
+    cfg.cameras[1].T_ck = (np.array([0.0, 0.0, 0.0, 1.0]),
+                           np.array([0.0, -0.06, 0.0]))
+    data = sim.simulate(cfg)
+    d0 = tmp_path / "cam0"
+    d1 = tmp_path / "cam1"
+    d0.mkdir()
+    d1.mkdir()
+    imgs0 = sim.render_frames(data, cam=0)
+    imgs1 = sim.render_frames(data, cam=1)
+    rng = np.random.default_rng(7)
+
+    t0 = data.frame_times
+    for k, img in enumerate(imgs0):
+        sources.write_pgm(str(d0 / f"f{k:03d}.pgm"), img)
+    np.savetxt(str(d0 / "timestamps.txt"), t0)
+
+    # channel 1: drop frame 10, duplicate frame 4 (same stamp), jitter
+    t1 = t0 + rng.uniform(-0.002, 0.002, size=len(t0))
+    keep = [k for k in range(len(imgs1)) if k != 10]
+    files1 = []
+    stamps1 = []
+    for k in keep:
+        files1.append(imgs1[k])
+        stamps1.append(t1[k])
+        if k == 4:                      # duplicated delivery, same stamp
+            files1.append(imgs1[k])
+            stamps1.append(t1[k])
+    for i, img in enumerate(files1):
+        sources.write_pgm(str(d1 / f"f{i:03d}.pgm"), img)
+    np.savetxt(str(d1 / "timestamps.txt"), np.asarray(stamps1))
+
+    out_xml = tmp_path / "cameras.xml"
+    cfg_e = VicalibConfig(
+        cam=f"file://[{d0}/*.pgm,{d1}/*.pgm]",
+        models="linear,linear",
+        use_only_when_static=False,
+        calibrate_imu=False,
+        output=str(out_xml),
+    )
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = VicalibEngine(cfg_e).run()
+    finally:
+        os.chdir(cwd)
+    assert result.success, result.stats
+    # 23 superframes survive (frame 10 dropped; the duplicate de-dup'd)
+    assert result.state.q_wk.shape[0] == 23
+    # stereo baseline recovered: T_c1_c0 = T_ck1 * T_ck0^-1 -> [0,-0.12,0]
+    q0, t0e = result.stats.t_ck_vec[0]
+    q1, t1e = result.stats.t_ck_vec[1]
+    rel = quat_np.se3_mul((q1, t1e), quat_np.se3_inverse((q0, t0e)))
+    np.testing.assert_allclose(rel[1], [0.0, -0.06, 0.0], atol=2e-3)

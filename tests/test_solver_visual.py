@@ -111,3 +111,35 @@ def test_outlier_removal():
     # does one pass too); gate at the reference's -max_reprojection_error
     # default of 0.15 px (vicalib-engine.cc:56-57)
     assert result.cam_rmse[0] < 0.15
+
+
+def test_gram_fast_matches_reference_gram():
+    """Analytic-geometry Gram (reproj_frame_gram_fast) == forward-mode Gram
+    (reproj_frame_gram) to f64 round-off, for every camera model."""
+    import jax.numpy as jnp
+
+    from vicalib_tpu.io import sim
+    from vicalib_tpu.solver.build import problem_from_sim
+    from vicalib_tpu.solver.residuals import (reproj_frame_gram,
+                                              reproj_frame_gram_fast)
+    from vicalib_tpu.solver.robust import SoftL1
+
+    for model in ["linear", "poly3", "kb4", "fov"]:
+        cfg = sim.default_mono_config(n_frames=10, model=model,
+                                      pixel_noise=0.3)
+        data_sim = sim.simulate(cfg)
+        data, state = problem_from_sim(data_sim)
+        F = data.n_frames
+        n = {"linear": 4, "poly3": 7, "kb4": 8, "fov": 5}[model]
+        k = 12 + n
+        rng = np.random.default_rng(0)
+        cmask = jnp.asarray((rng.random((F, k)) > 0.2).astype(float))
+        s1, G1 = reproj_frame_gram(state, data.obs[0], 0, model, cmask,
+                                   SoftL1(0.5))
+        s2, G2 = reproj_frame_gram_fast(
+            state, data.obs[0], 0, model, cmask, SoftL1(0.5))
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                   atol=1e-10)
+        scale = 1 + float(jnp.max(jnp.abs(G1)))
+        np.testing.assert_allclose(np.asarray(G2) / scale,
+                                   np.asarray(G1) / scale, atol=1e-12)
