@@ -316,3 +316,40 @@ def test_engine_async_stereo_channels(tmp_path):
     q1, t1e = result.stats.t_ck_vec[1]
     rel = quat_np.se3_mul((q1, t1e), quat_np.se3_inverse((q0, t0e)))
     np.testing.assert_allclose(rel[1], [0.0, -0.06, 0.0], atol=2e-3)
+
+
+def test_engine_streaming_with_clock_skew(dataset, tmp_path):
+    """-stream_chunk + -nouse_system_time with a 0.5 s device-clock skew:
+    streaming mode must propagate the refined offset guess (it skips the
+    batch problem build but keeps the raw-stream gyro/vision refinement)
+    and recover the true offset, like batch mode does."""
+    root, sim_cfg, data = dataset
+    skew = 0.5
+    imu_dir = tmp_path / "imu_skewed"
+    imu_dir.mkdir()
+    np.savetxt(str(imu_dir / "accel.txt"), data.accel)
+    np.savetxt(str(imu_dir / "gyro.txt"), data.gyro)
+    np.savetxt(str(imu_dir / "timestamp.txt"),
+               np.stack([data.imu_times - skew, data.imu_times], axis=1))
+
+    cfg = VicalibConfig(
+        cam=f"file://{root}/images/*.pgm",
+        imu=f"csv://{imu_dir}",
+        models="linear",
+        use_only_when_static=False,
+        calibrate_imu=True,
+        use_system_time=False,
+        stream_chunk=10,
+        output=str(tmp_path / "cameras.xml"),
+    )
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = VicalibEngine(cfg).run()
+    finally:
+        os.chdir(cwd)
+    assert result.success, result.stats
+    assert abs(result.stats.ts - skew) < 1e-3, result.stats.ts
+    assert result.stats.reprojection_error[0] < 0.1
