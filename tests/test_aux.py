@@ -93,6 +93,7 @@ def test_covariance_and_checkpoint_in_engine(dataset, tmp_path):
         output_log_file=str(tmp_path / "vicalibrator.log"),
         compute_covariance=True,
         checkpoint_file=str(tmp_path / "state.npz"),
+        report_file=str(tmp_path / "report.html"),
     )
     from vicalib_tpu.engine import VicalibEngine
 
@@ -111,6 +112,12 @@ def test_covariance_and_checkpoint_in_engine(dataset, tmp_path):
     assert fu_var > 0
     log_text = (tmp_path / "vicalibrator.log").read_text()
     assert "Camera: 0" in log_text and "covariance" in log_text
+    # -report_file: self-contained HTML diagnostic (the Pangolin-GUI
+    # replacement) with stage table, error charts, coverage map, sigmas
+    report = (tmp_path / "report.html").read_text()
+    for needle in ("Calibration report", "Solver stages", "rmse",
+                   "Reprojection errors", "<svg", "standard deviations"):
+        assert needle in report, needle
     # checkpoint written + loadable
     from vicalib_tpu.checkpoint import load_checkpoint
     state2, flags2, meta = load_checkpoint(str(tmp_path / "state.npz"))
@@ -186,3 +193,29 @@ def test_model_files_resume(dataset, tmp_path):
     np.testing.assert_allclose(
         r2.stats.cam_intrinsics[0][:4], r1.stats.cam_intrinsics[0][:4],
         atol=0.2)
+
+
+def test_report_inertial_block(tmp_path):
+    """write_html_report on a VI problem includes the inertial table."""
+    import numpy as np
+
+    from vicalib_tpu.io import sim
+    from vicalib_tpu.report import write_html_report
+    from vicalib_tpu.solver import StageFlags, run_staged
+    from vicalib_tpu.solver.build import problem_from_sim
+    from vicalib_tpu.utils import CalibrationStats, CalibrationStatus
+
+    cfg = sim.default_mono_config(n_frames=10, model="linear", imu=True,
+                                  imu_rate=50.0,
+                                  gyro_bias=np.array([0.01, -0.02, 0.015]))
+    data_sim = sim.simulate(cfg)
+    data, state = problem_from_sim(data_sim, use_imu=True, window_slack=0.1)
+    result = run_staged(state, data, StageFlags(calibrate_imu=True))
+    stats = CalibrationStats(1, status=CalibrationStatus.SUCCESS)
+    path = write_html_report(
+        str(tmp_path / "r.html"), ["linear"], result.state, data, result,
+        stats, [800], [600])
+    text = open(path).read()
+    for needle in ("Inertial parameters", "gyro bias", "time offset",
+                   "gravity"):
+        assert needle in text, needle

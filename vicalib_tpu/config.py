@@ -69,6 +69,9 @@ class VicalibConfig:
     output: str = "cameras.xml"
     output_log_file: str = "vicalibrator.log"
     output_conics: bool = False
+    # post-run HTML diagnostic report (new capability: the batch-pipeline
+    # replacement for the reference's live Pangolin views — see report.py)
+    report_file: str = ""
     exit_vicalib_on_finish: bool = True
     max_reprojection_error: float = 0.15
 

@@ -600,5 +600,12 @@ class VicalibEngine:
             if cfg.save_poses:
                 out_io.write_poses_csv("poses.csv", state.q_wk, state.t_wk)
 
+        if cfg.report_file and write_outputs:
+            from .report import write_html_report
+            write_html_report(cfg.report_file, model_names, state, data,
+                              result, stats, widths, heights,
+                              target=self.target)
+            log.info("wrote calibration report to %s", cfg.report_file)
+
         return EngineResult(success=success, stats=stats, state=state,
                             result=result, model_names=model_names)
