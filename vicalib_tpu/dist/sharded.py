@@ -14,10 +14,8 @@ heavy per-observation / per-factor arrays are partitioned.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 

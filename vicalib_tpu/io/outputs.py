@@ -16,7 +16,7 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
-from ..cameras import MODELS, get_model
+from ..cameras import get_model
 from ..geometry import quat_np
 
 RDF_VISION = np.eye(3)

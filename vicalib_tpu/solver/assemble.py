@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .problem import CalibState, SharedLayout, StageFlags
+from .problem import CalibState, SharedLayout
 from .residuals import (CameraObs, ImuFactors, imu_residuals,
                         imu_residuals_and_jacobians, reproj_residuals,
                         reproj_residuals_and_jacobians)

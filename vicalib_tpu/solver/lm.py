@@ -29,7 +29,7 @@ import numpy as np
 from .assemble import ProblemData, assemble, robust_costs
 from .problem import CalibState, retract
 from .schur import schur_solve
-from .weights import IMU_ACCEL_SIGMA, IMU_GYRO_SIGMA, imu_weights
+from .weights import imu_weights
 
 log = logging.getLogger("vicalib_tpu.solver")
 

@@ -23,7 +23,7 @@ import numpy as np
 from ..cameras import get_model
 from ..geometry import se3, so3
 from ..imu import preintegrate
-from .problem import CalibState, SharedLayout
+from .problem import CalibState
 
 
 @dataclasses.dataclass

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import quat_np, se3, so3
+from ..geometry import so3
 from ..imu import preintegrate
 from .assemble import ProblemData
 from .lm import LMInfo, LMOptions, LMSolver, materialize_info
