@@ -49,9 +49,28 @@ def test_conic_detection_accuracy(rendered):
     det = centers[valid]
     d = np.linalg.norm(det[:, None] - true_pix[None], axis=2)
     nearest = d.min(axis=1)
-    assert np.median(nearest) < 0.2, np.median(nearest)
+    # sub-pixel refinement holds the median well under the vi_sim-derived
+    # 0.08 px budget (VERDICT r4 #1); measured ~0.007 px on this geometry
+    assert np.median(nearest) < 0.05, np.median(nearest)
     # a couple of stray blobs (merged/corner) are fine; grid match culls them
     assert np.percentile(nearest, 95) < 0.5, np.percentile(nearest, 95)
+
+
+def test_refinement_beats_moments(rendered):
+    """refine_centers must improve on the component-support moments centroid
+    by at least 3x in median center error (measured ~15x)."""
+    cfg, data, imgs = rendered
+    true_pix = data.pixels[0, 0]
+
+    def med_err(params):
+        out = find_conics(jnp.asarray(imgs[0], jnp.float32), params)
+        det = np.asarray(out["center"])[np.asarray(out["valid"])]
+        d = np.linalg.norm(det[:, None] - true_pix[None], axis=2)
+        return np.median(d.min(axis=1))
+
+    e_moments = med_err(ConicParams(max_conics=256, refine_iters=0))
+    e_refined = med_err(ConicParams(max_conics=256))
+    assert e_refined < e_moments / 3.0, (e_moments, e_refined)
 
 
 def test_grid_match_end_to_end(rendered):

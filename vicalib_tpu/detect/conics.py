@@ -25,6 +25,20 @@ class ConicParams:
     min_aspect: float = 0.2
     max_conics: int = 512          # static K for unique/segment ops
     cc_iters: int = 64             # label-propagation sweeps
+    # sub-pixel refinement (refine_centers): iterative windowed darkness
+    # centroid on the raw image.  0 iters disables.  Calibu's ConicFinder
+    # analog refines on image gradients (surface: vicalib-task.cc:268-272);
+    # the windowed intensity centroid reaches ~0.006 px median on rendered
+    # 800x600 frames vs ~0.06 px for the component-support moments.
+    refine_iters: int = 3
+    refine_power: float = 2.0
+    refine_r_scale: float = 1.6    # window half-size ~ scale*radius + add
+    refine_r_add: float = 1.0
+    refine_r_min: int = 2
+    refine_r_max: int = 6          # static gather shape = 2*r_max+1
+    refine_vor: float = 0.45       # cap half-size at vor * nearest-neighbor
+    #                                distance so tight grids (spacing ~7 px)
+    #                                don't pull in neighboring dots' tails
 
 
 def label_components(mask, n_iters=64):
@@ -152,13 +166,92 @@ def extract_conics(mask, labels, params: ConicParams = ConicParams(),
 @partial(jax.jit, static_argnames=("params",))
 def find_conics(img, params: ConicParams = ConicParams(),
                 at_threshold=0.9, at_window_ratio=30.0):
-    """Full per-frame pipeline: threshold -> CC -> conics.  Jittable; vmap
-    over frames for batching (pure-XLA path)."""
+    """Full per-frame pipeline: threshold -> CC -> conics (+ sub-pixel
+    refinement).  Jittable; vmap over frames for batching (pure-XLA path)."""
     from .image_proc import adaptive_threshold
 
     mask = adaptive_threshold(img, at_threshold, at_window_ratio)
     labels = label_components(mask, params.cc_iters)
-    return extract_conics(mask, labels, params, img=img)
+    comp = compact_labels(labels, params.max_conics)
+    det = moments_from_compact(comp, img, params)
+    if params.refine_iters > 0:
+        H, W = img.shape
+        det["center"] = refine_centers(img, comp, det["center"],
+                                       det["radius"], det["valid"], H, W,
+                                       params)
+    return det
+
+
+def refine_centers(img, comp, centers, radius, valid, H, W,
+                   params: ConicParams):
+    """Sub-pixel center refinement: iterative windowed darkness centroid.
+
+    The component-support moments centroid (moments_from_compact) clips the
+    dot's anti-aliased tail at the adaptive-threshold boundary; re-estimating
+    on the *unthresholded* image over a centered window removes that bias
+    (measured 0.06 px -> 0.006 px median center error on rendered 800x600
+    frames, 0.11 px -> 0.007 px on tight-spacing 400x300 frames).  Per dot:
+    gather a (2*r_max+1)^2 window at the rounded current center, estimate
+    background as the masked window max, weight each pixel by
+    ``(bg - I)^power`` times a radial taper around the current center,
+    recenter; iterate.  The per-dot effective half-size scales with the
+    detected radius and is capped at ``refine_vor`` times the
+    nearest-detection distance, so tight grids don't pull in neighboring
+    dots' anti-aliased tails; labeled pixels of *other* components are
+    masked out entirely, background (component 0) pixels are kept — they
+    carry the dot's own tail.
+
+    img, comp: (H_pad, W_pad) image + compact component ids; centers (K, 2);
+    radius, valid: (K,).  Returns refined (K, 2).  Dots whose window leaves
+    the original HxW image keep their moments center.
+    """
+    RO = params.refine_r_max
+    WIN = 2 * RO + 1
+    off = jnp.arange(WIN, dtype=jnp.int32) - RO
+    offx = off[None, :]
+    offy = off[:, None]
+    K = centers.shape[0]
+    ids = jnp.arange(1, K + 1, dtype=jnp.int32)
+    # nearest-neighbor distance among valid detections (invalid -> +inf)
+    d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+    big = jnp.asarray(jnp.inf, d2.dtype)
+    d2 = jnp.where(valid[None, :] & ~jnp.eye(K, dtype=bool), d2, big)
+    dnn = jnp.sqrt(jnp.min(d2, axis=1))
+    r_want = jnp.round(params.refine_r_scale * radius + params.refine_r_add)
+    r_vor = jnp.floor(params.refine_vor * dnn)
+    r_eff = jnp.clip(jnp.minimum(r_want, r_vor),
+                     params.refine_r_min, RO).astype(jnp.int32)
+    power = params.refine_power
+
+    def one(cid, c0, reff, v):
+        rmask = (jnp.abs(offx) <= reff) & (jnp.abs(offy) <= reff)
+        rad2 = (reff.astype(img.dtype) + 0.5) ** 2
+
+        def body(c, _):
+            xi = jnp.round(c[0]).astype(jnp.int32)
+            yi = jnp.round(c[1]).astype(jnp.int32)
+            ok = ((xi - reff >= 0) & (xi + reff <= W - 1)
+                  & (yi - reff >= 0) & (yi + reff <= H - 1))
+            y0, x0 = yi - RO, xi - RO
+            patch = jax.lax.dynamic_slice(img, (y0, x0), (WIN, WIN))
+            cp = jax.lax.dynamic_slice(comp, (y0, x0), (WIN, WIN))
+            keep = rmask & ((cp == 0) | (cp == cid))
+            bg = jnp.max(jnp.where(keep, patch, -jnp.inf))
+            w = jnp.where(keep, jnp.maximum(bg - patch, 0.0), 0.0) ** power
+            xs = (x0 + RO + offx).astype(img.dtype)
+            ys = (y0 + RO + offy).astype(img.dtype)
+            rr2 = (xs - c[0]) ** 2 + (ys - c[1]) ** 2
+            w = w * jnp.maximum(1.0 - rr2 / rad2, 0.0)
+            s = jnp.sum(w)
+            cx = jnp.sum(w * xs) / jnp.maximum(s, 1e-6)
+            cy = jnp.sum(w * ys) / jnp.maximum(s, 1e-6)
+            new = jnp.stack([cx, cy])
+            return jnp.where(ok & (s > 0), new, c), None
+
+        c, _ = jax.lax.scan(body, c0, None, length=params.refine_iters)
+        return jnp.where(v, c, c0)
+
+    return jax.vmap(one)(ids, centers, r_eff, valid)
 
 
 def _pad_to_tiles(imgs):
@@ -202,7 +295,20 @@ def find_conics_batch(imgs, params: ConicParams = ConicParams(),
     else:
         comp = _compact_labels_xla(padded, params, at_threshold, radius,
                                    black_on_white)
-    return _extract_batch(comp, padded, H, W, params)
+    det = _extract_batch(comp, padded, H, W, params)
+    if params.refine_iters > 0:
+        det["center"] = _refine_batch(comp, padded, det["center"],
+                                      det["radius"], det["valid"], H, W,
+                                      params)
+    return det
+
+
+@partial(jax.jit, static_argnames=("H", "W", "params"))
+def _refine_batch(comp, padded, centers, radius, valid, H, W, params):
+    return jax.vmap(
+        lambda c, im, ce, r, v: refine_centers(im, c, ce, r, v, H, W,
+                                               params))(
+        comp, padded, centers, radius, valid)
 
 
 @partial(jax.jit, static_argnames=("params", "at_threshold", "radius",

@@ -54,54 +54,65 @@ def _detect_all(images, target, cfg, max_conics=512):
                          min_density=cfg.conic_min_density,
                          min_aspect=cfg.conic_min_aspect)
 
-    # chunk frames to bound device memory (config 5 is 10k+ frames — the
-    # full f32 stack would be gigabytes): each chunk is uploaded, detected,
-    # and its outputs pulled back before the next upload.  The fused Pallas
-    # threshold+label kernel runs on TPU, the portable XLA path elsewhere.
-    chunk = 32
-    outs = []
-    for i in range(0, F, chunk):
-        imgs = jnp.asarray(np.stack(images[i:i + chunk]), jnp.float32)
-        outs.append(jax.tree_util.tree_map(
-            np.asarray, find_conics_batch(
-                imgs, params,
-                at_threshold=cfg.at_threshold,
-                at_window_ratio=cfg.at_window_ratio,
-                black_on_white=cfg.black_on_white)))
-    det = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    # Chunked pipelined detection (same pattern the measured bench pipeline
+    # uses, bench.py detect_bench): frames upload as uint8 (4x less
+    # tunnel/PCIe traffic than f32 — find_conics_batch casts on device) and
+    # chunks are dispatched ahead of the pulls, so upload + kernel execution
+    # overlap the host-side grid matching.  In-flight chunks are capped so
+    # config-5-scale runs (10k+ frames) hold at most ~window chunks of
+    # images on device at once.
+    from .io import native as native_io
 
+    chunk = 32
+    window = 8
     pixels = np.zeros((F, P, 2))
     visible = np.zeros((F, P), dtype=bool)
     conic_rows = []
+    pts = target.circles_3d() if cfg.output_conics else None
 
-    # grid association: the threaded native batch matcher when available
-    # (frames striped over hardware threads, GIL released for the whole
-    # call); per-frame python matcher otherwise
-    from .io import native as native_io
-    batch = native_io.match_grid_batch(det["center"], det["radius"],
-                                       det["valid"], target.grid)
-    for k in range(F):
-        if batch is not None:
-            if int(batch[0][k]) < 0:
-                continue
-            grid_coords = batch[1][k]
-        else:
-            m = match_target(det["center"][k], det["radius"][k],
-                             det["valid"][k], target)
-            if not m.ok:
-                continue
-            grid_coords = m.grid_coords
-        sel = grid_coords[:, 0] >= 0
-        gidx = (grid_coords[sel, 1] * target.cols
-                + grid_coords[sel, 0])
-        pixels[k, gidx] = det["center"][k][sel]
-        visible[k, gidx] = True
-        if cfg.output_conics:
-            pts = target.circles_3d()
-            for ci, gi in zip(np.where(sel)[0], gidx):
-                u, v = det["center"][k][ci]
-                x, y, z = pts[gi]
-                conic_rows.append((k, int(gi), u, v, x, y, z))
+    def dispatch(i):
+        imgs = jnp.asarray(np.stack(images[i:i + chunk]))   # uint8 upload
+        return find_conics_batch(
+            imgs, params,
+            at_threshold=cfg.at_threshold,
+            at_window_ratio=cfg.at_window_ratio,
+            black_on_white=cfg.black_on_white)
+
+    starts = list(range(0, F, chunk))
+    inflight = {}
+    for i in starts[:window]:
+        inflight[i] = dispatch(i)
+    for ci, i in enumerate(starts):
+        det = jax.tree_util.tree_map(np.asarray, inflight.pop(i))
+        nxt = ci + window
+        if nxt < len(starts):
+            inflight[starts[nxt]] = dispatch(starts[nxt])
+        # grid association: the threaded native batch matcher when
+        # available (frames striped over hardware threads, GIL released
+        # for the whole call); per-frame python matcher otherwise
+        batch = native_io.match_grid_batch(det["center"], det["radius"],
+                                           det["valid"], target.grid)
+        for k in range(det["center"].shape[0]):
+            if batch is not None:
+                if int(batch[0][k]) < 0:
+                    continue
+                grid_coords = batch[1][k]
+            else:
+                m = match_target(det["center"][k], det["radius"][k],
+                                 det["valid"][k], target)
+                if not m.ok:
+                    continue
+                grid_coords = m.grid_coords
+            sel = grid_coords[:, 0] >= 0
+            gidx = (grid_coords[sel, 1] * target.cols
+                    + grid_coords[sel, 0])
+            pixels[i + k, gidx] = det["center"][k][sel]
+            visible[i + k, gidx] = True
+            if cfg.output_conics:
+                for co, gi in zip(np.where(sel)[0], gidx):
+                    u, v = det["center"][k][co]
+                    x, y, z = pts[gi]
+                    conic_rows.append((i + k, int(gi), u, v, x, y, z))
     return pixels, visible, conic_rows
 
 

@@ -346,9 +346,12 @@ def render_frames(data: SimData, cam: int = 0, width=None, height=None,
     def render_one(q_wk, t_wk):
         # camera pose: T_wc = T_wk * T_ck^-1
         T_wc = se3.mul((q_wk, t_wk), se3.inverse(T_ck))
-        R_wc = so3.to_matrix(T_wc[0])
         o = T_wc[1]
-        d = rays @ R_wc.T                                       # (HW, 3)
+        # quaternion rotate (cross products), NOT a matmul: XLA lowers f32
+        # matmuls at DEFAULT precision to bf16 multiplies (MXU), which warps
+        # ray directions by ~4e-3 — mm-scale geometric distortion on the
+        # target plane that floored detected-center accuracy at ~0.2 px.
+        d = so3.rotate(T_wc[0], rays)                           # (HW, 3)
         tplane = -o[2] / jnp.where(jnp.abs(d[:, 2]) < 1e-9, 1e-9, d[:, 2])
         pt = o[None, :2] + tplane[:, None] * d[:, :2]           # (HW, 2)
         # pixel footprint on the plane ~ z / f
