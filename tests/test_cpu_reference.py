@@ -164,3 +164,122 @@ def test_oracle_and_solver_agree(vi_data):
     np.testing.assert_allclose(sol["bg"], np.asarray(st.biases[:3]),
                                atol=2e-3)
     assert abs(sol["off"] - float(st.time_offset)) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Distortion-model parity (VERDICT r4 #4): the five distortion models'
+# conventions (fov w, poly k's, KB4 theta-polynomial, rational6 num/den)
+# were pinned only by the JAX path's own FD tests — exactly where a shared
+# systematic convention error could hide.  project_np re-implements each
+# model in plain numpy; residual-level parity + a small intrinsics-recovery
+# solve per model close that hole.
+# ---------------------------------------------------------------------------
+DISTORTION_PARAMS = {
+    "linear": [],
+    "fov": [0.85],
+    "poly2": [-0.12, 0.03],
+    "poly3": [-0.12, 0.03, -0.004],
+    "kb4": [-0.04, 0.01, -0.002, 0.0004],
+    "rational6": [-0.10, 0.02, -0.001, -0.04, 0.008, -0.0005],
+}
+
+
+@pytest.mark.parametrize("model", list(DISTORTION_PARAMS))
+def test_projection_matches_jax_per_model(model):
+    """project_np == the JAX camera model on random in-view points."""
+    import jax.numpy as jnp
+
+    from vicalib_tpu.cameras import get_model
+
+    rng = np.random.default_rng(7)
+    pc = np.stack([rng.uniform(-0.4, 0.4, 200), rng.uniform(-0.3, 0.3, 200),
+                   rng.uniform(0.3, 1.2, 200)], axis=1)
+    intr = np.concatenate([[335.6, 334.2, 400.0, 300.0],
+                           DISTORTION_PARAMS[model]])
+    m = get_model(model)
+    pj = np.asarray(m.project(jnp.asarray(pc), jnp.asarray(intr)))
+    pn = cr.project_np(model, pc, intr)
+    np.testing.assert_allclose(pn, pj, atol=1e-9)
+
+
+@pytest.mark.parametrize("model", list(DISTORTION_PARAMS))
+def test_visual_residual_matches_jax_per_model(model):
+    """Full residual parity (pose chain + distortion) against the JAX
+    production residuals, at a state perturbed off the optimum."""
+    import jax.numpy as jnp
+
+    from vicalib_tpu.solver.build import build_problem
+    from vicalib_tpu.solver.residuals import reproj_residuals
+
+    cfg = sim.default_mono_config(n_frames=6, model=model)
+    if model == "rational6":
+        cfg.cameras[0].params[4:10] = DISTORTION_PARAMS[model]
+    data = sim.simulate(cfg)
+    vis = data.visible.copy()
+    vis[:, :, 1::2] = False
+    dataj, state = build_problem(
+        [model], data.frame_times, data.pixels, vis,
+        cfg.target.circles_3d(), widths=[800], heights=[600],
+        dtype=jnp.float64)
+    r_jax = np.asarray(reproj_residuals(state, dataj.obs[0], 0, model))
+
+    prob = cr.CpuVIProblem(data.frame_times, data.pixels, vis,
+                           cfg.target.circles_3d(), use_imu=False,
+                           models=[model])
+    F = len(data.frame_times)
+    x = prob.pack(np.array(state.q_wk), np.array(state.t_wk),
+                  np.zeros((F, 3)), [np.array(state.q_ck[0])],
+                  np.array(state.p_ck),
+                  [np.array(state.intr[0][:prob.npar[0]])],
+                  np.zeros(2), np.zeros(3), np.zeros(3), 0.0)
+    r_np = prob.residuals(x, visual_only=True)
+    valid = np.asarray(dataj.obs[0].valid) > 0
+    np.testing.assert_allclose(r_np, r_jax[valid].ravel(), atol=1e-9)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["poly3", "kb4"])
+def test_oracle_recovers_distortion_intrinsics(model):
+    """Visual-only oracle solve recovers the true distorted intrinsics —
+    an independent end-to-end pin of the distortion conventions."""
+    cfg = sim.default_mono_config(n_frames=16, model=model,
+                                  pixel_noise=0.02)
+    data = sim.simulate(cfg)
+    vis = data.visible.copy()
+    vis[:, :, 1::2] = False
+    sol, wall, prob = cr.solve_cpu(
+        data.frame_times, data.pixels, vis, cfg.target.circles_3d(),
+        models=[model])
+    true_p = cfg.cameras[0].params[:prob.npar[0]]
+    np.testing.assert_allclose(sol["intr"][0][:4], true_p[:4], atol=2.0)
+    # the solve must fit the distorted data to the injected-noise floor —
+    # a convention mismatch between the numpy model family and the
+    # (JAX-generated) data could not reach it
+    x = prob.pack([r.as_quat() for r in sol["R_wk"]], sol["t_wk"],
+                  sol["v_w"], [r.as_quat() for r in sol["R_ck"]],
+                  sol["p_ck"], sol["intr"], sol["g_dir"], sol["bg"],
+                  sol["ba"], sol["off"])
+    res = prob.residuals(x, visual_only=True)
+    rmse = np.sqrt(np.mean(res ** 2))
+    assert rmse < 1.5 * 0.02, rmse
+    # higher-order radial terms are individually ill-conditioned on a small
+    # sequence (k2 r^4 / k3 r^6 cancel over the observed range); the
+    # remaining pin is FUNCTION-SPACE parity within the observed radial
+    # support: the recovered model must project like the true one there (a
+    # convention error — swapped k's, wrong polynomial variable — would be
+    # tens of pixels off)
+    uv = data.pixels[0][vis[0]]
+    r_obs = np.hypot((uv[:, 0] - true_p[2]) / true_p[0],
+                     (uv[:, 1] - true_p[3]) / true_p[1])
+    r_max = np.percentile(r_obs, 80)
+    rng = np.random.default_rng(3)
+    r = rng.uniform(0.0, r_max, 400)
+    ang = rng.uniform(0, 2 * np.pi, 400)
+    pc = np.stack([r * np.cos(ang), r * np.sin(ang), np.ones(400)], axis=1)
+    p_true = cr.project_np(model, pc, true_p)
+    p_sol = cr.project_np(model, pc, sol["intr"][0])
+    err = np.linalg.norm(p_true - p_sol, axis=1)
+    # the residual drift here is the fu/cu <-> pose correlation the
+    # reference itself tolerates (||d intr|| < 5, vi_sim_test.cpp:9); a
+    # distortion-convention error would be tens of pixels
+    assert np.percentile(err, 95) < 1.0, np.percentile(err, 95)

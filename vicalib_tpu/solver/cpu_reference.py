@@ -18,12 +18,18 @@ Two jobs (VERDICT r3 #3):
    this CPU solve on the same class of problem replaces the estimate with a
    measured number (see ``measure_baseline`` and BASELINE.md).
 
-Model scope: mono/stereo VI with the linear camera model — the bench
-workload's shape.  Reference semantics mirrored: gravity magnitude 9.8007
-(types.h:40-42), 2-angle gravity direction (types.h:93-104), additive bias +
-per-axis scale on both channels, RK4 with endpoint-interpolated measurement
-windows (ceres-cost-functions.h:139-177), residual
-[log(SE3 delta) | dv] (ibid:468-472).
+Model scope: mono/multi-camera VI with any of the six Calibu camera models
+(surface: vicalib-engine.cc:203-262) — linear, fov, poly2, poly3,
+rational6, kb4 — each re-implemented here in plain numpy from the
+published model definitions so the distortion conventions (fov w
+arctan-factor, poly k-polynomials in r^2, KB4 theta-polynomial, rational6
+numerator/denominator) are pinned by a second implementation, not just by
+the JAX path's own FD tests.  Reference semantics mirrored: gravity
+magnitude 9.8007 (types.h:40-42), 2-angle gravity direction
+(types.h:93-104), additive bias + per-axis scale on both channels, RK4
+with endpoint-interpolated measurement windows
+(ceres-cost-functions.h:139-177), residual [log(SE3 delta) | dv]
+(ibid:468-472).
 """
 from __future__ import annotations
 
@@ -35,6 +41,62 @@ from scipy.sparse import lil_matrix
 from scipy.spatial.transform import Rotation
 
 GRAVITY_MAG = 9.8007
+
+# per-model intrinsic parameter counts (vicalib-engine.cc:203-262)
+N_PARAMS = {"linear": 4, "fov": 5, "poly2": 6, "poly3": 7, "rational6": 10,
+            "kb4": 8}
+
+
+# ------------------------------------------------------- numpy camera models
+def project_np(model, pc, intr):
+    """Project camera-frame points (N, 3) -> pixels (N, 2), plain numpy.
+
+    Independent implementations of the six Calibu model definitions (CRTP
+    Project surface, vicalib-engine.cc:203-262): pinhole xy = (x/z, y/z),
+    a model-specific radial factor, then [fu x + cu, fv y + cv].
+    """
+    fu, fv, cu, cv = intr[:4]
+    z = np.clip(pc[:, 2], 1e-9, None)
+    x = pc[:, 0] / z
+    y = pc[:, 1] / z
+    r2 = x * x + y * y
+    if model == "linear":
+        fac = 1.0
+    elif model == "fov":
+        w = intr[4]
+        r = np.sqrt(np.maximum(r2, 1e-24))
+        if abs(w) < 1e-6:
+            fac = np.ones_like(r)
+        else:
+            fac = np.arctan(2.0 * r * np.tan(w / 2.0)) / (r * w)
+            fac = np.where(r2 < 1e-12, 2.0 * np.tan(w / 2.0) / w, fac)
+    elif model == "poly2":
+        k1, k2 = intr[4], intr[5]
+        fac = 1.0 + r2 * (k1 + r2 * k2)
+    elif model == "poly3":
+        k1, k2, k3 = intr[4], intr[5], intr[6]
+        fac = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    elif model == "rational6":
+        k1, k2, k3, d1, d2, d3 = intr[4:10]
+        num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        den = 1.0 + r2 * (d1 + r2 * (d2 + r2 * d3))
+        fac = num / den
+    elif model == "kb4":
+        # theta-polynomial fisheye: r_d = theta (1 + k1 t^2 + ... + k4 t^8),
+        # applied to the UNnormalized ray (z not divided out first)
+        k1, k2, k3, k4 = intr[4:8]
+        rr = np.sqrt(np.maximum(pc[:, 0] ** 2 + pc[:, 1] ** 2, 1e-24))
+        theta = np.arctan2(rr, pc[:, 2])
+        t2 = theta * theta
+        poly = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+        small = (pc[:, 0] ** 2 + pc[:, 1] ** 2) < 1e-16
+        scale = np.where(small, 1.0 / np.clip(pc[:, 2], 1e-9, None),
+                         poly / rr)
+        return np.stack([fu * pc[:, 0] * scale + cu,
+                         fv * pc[:, 1] * scale + cv], axis=1)
+    else:
+        raise ValueError(model)
+    return np.stack([fu * fac * x + cu, fv * fac * y + cv], axis=1)
 
 
 # ------------------------------------------------------------ numpy geometry
@@ -253,11 +315,11 @@ def _rk4_batch(t_img, gyro, accel, q0, p0, v0, bg, ba, sf, g_w):
 
 # ------------------------------------------------------------ the CPU problem
 class CpuVIProblem:
-    """Mono/stereo VI calibration as a flat-vector scipy problem.
+    """Mono/multi-camera VI calibration as a flat-vector scipy problem.
 
     Parameter layout:
       [frames: F x (rotvec_wk(3), t_wk(3), v_w(3))]
-      [per camera: rotvec_ck(3), p_ck(3), intr(4)]
+      [per camera: rotvec_ck(3), p_ck(3), intr(n_params[model])]
       [g_dir(2), bg(3), ba(3), t_offset(1)]
     Scale factors stay at 1 (the reference's stage 4 is opt-in;
     vicalibrator.h:991-994) — biases + offset are the vi_sim anchors.
@@ -265,7 +327,7 @@ class CpuVIProblem:
 
     def __init__(self, frame_times, pixels, visible, p3d, imu_times=None,
                  gyro=None, accel=None, imu_weight=500.0, fix_extrinsics=(),
-                 use_imu=True):
+                 use_imu=True, models=None):
         self.frame_times = np.asarray(frame_times)
         self.pixels = np.asarray(pixels)        # (C, F, P, 2)
         self.visible = np.asarray(visible)      # (C, F, P)
@@ -277,10 +339,18 @@ class CpuVIProblem:
         self.accel = accel
         self.imu_weight = imu_weight
         self.fix_extrinsics = set(fix_extrinsics)
+        self.models = list(models) if models else ["linear"] * self.C
+        self.npar = [N_PARAMS[m] for m in self.models]
         self.nf = 9 * self.F
-        self.ncam = 10
+        # per-camera block offsets (6 extrinsic + n_params intrinsic each)
+        self.cam_off = []
+        o = self.nf
+        for np_c in self.npar:
+            self.cam_off.append(o)
+            o += 6 + np_c
+        self.osh = o
         self.nshared = 9  # g(2) + bg(3) + ba(3) + offset(1)
-        self.n = self.nf + self.ncam * self.C + self.nshared
+        self.n = o + self.nshared
         # visual residual bookkeeping: (cam, frame, point) for valid obs
         self.obs = [(c, f) for c in range(self.C) for f in range(self.F)
                     if self.visible[c, f].any()]
@@ -293,11 +363,11 @@ class CpuVIProblem:
             x[9 * f + 3:9 * f + 6] = t_wk[f]
             x[9 * f + 6:9 * f + 9] = v_w[f]
         for c in range(self.C):
-            o = self.nf + self.ncam * c
+            o = self.cam_off[c]
             x[o:o + 3] = _quat_rot(q_ck[c]).as_rotvec()
             x[o + 3:o + 6] = p_ck[c]
-            x[o + 6:o + 10] = intr[c][:4]
-        o = self.nf + self.ncam * self.C
+            x[o + 6:o + 6 + self.npar[c]] = intr[c][:self.npar[c]]
+        o = self.osh
         x[o:o + 2] = g_dir
         x[o + 2:o + 5] = bg
         x[o + 5:o + 8] = ba
@@ -311,12 +381,14 @@ class CpuVIProblem:
         out["t_wk"] = x[:self.nf].reshape(self.F, 9)[:, 3:6]
         out["v_w"] = x[:self.nf].reshape(self.F, 9)[:, 6:9]
         out["R_ck"] = [Rotation.from_rotvec(
-            x[self.nf + self.ncam * c:self.nf + self.ncam * c + 3])
+            x[self.cam_off[c]:self.cam_off[c] + 3])
             for c in range(self.C)]
-        cams = x[self.nf:self.nf + self.ncam * self.C].reshape(self.C, 10)
-        out["p_ck"] = cams[:, 3:6]
-        out["intr"] = cams[:, 6:10]
-        o = self.nf + self.ncam * self.C
+        out["p_ck"] = np.stack([x[self.cam_off[c] + 3:self.cam_off[c] + 6]
+                                for c in range(self.C)])
+        out["intr"] = [x[self.cam_off[c] + 6:
+                         self.cam_off[c] + 6 + self.npar[c]]
+                       for c in range(self.C)]
+        o = self.osh
         out["g_dir"] = x[o:o + 2]
         out["bg"] = x[o + 2:o + 5]
         out["ba"] = x[o + 5:o + 8]
@@ -334,13 +406,11 @@ class CpuVIProblem:
         Rw_mats = Rw.inv().as_matrix()                # (F, 3, 3)
         for c in range(self.C):
             Rc = s["R_ck"][c].as_matrix()
-            fu, fv, cu, cv = s["intr"][c]
             d = self.p3d[None, :, :] - s["t_wk"][:, None, :]   # (F, P, 3)
             pk = np.einsum("fij,fpj->fpi", Rw_mats, d)
             pc = pk @ Rc.T + s["p_ck"][c]
-            z = np.clip(pc[:, :, 2], 1e-9, None)
-            proj = np.stack([fu * pc[:, :, 0] / z + cu,
-                             fv * pc[:, :, 1] / z + cv], axis=2)
+            proj = project_np(self.models[c], pc.reshape(-1, 3),
+                              s["intr"][c]).reshape(self.F, self.P, 2)
             err = proj - self.pixels[c]
             for f in range(self.F):
                 vis = self.visible[c, f]
@@ -379,13 +449,13 @@ class CpuVIProblem:
             n = 2 * int(self.visible[c, f].sum())
             if not fix_frames:
                 S[r:r + n, 9 * f:9 * f + 6] = 1
-            o = self.nf + self.ncam * c
+            o = self.cam_off[c]
             if c not in self.fix_extrinsics:
                 S[r:r + n, o:o + 6] = 1
-            S[r:r + n, o + 6:o + 10] = 1
+            S[r:r + n, o + 6:o + 6 + self.npar[c]] = 1
             r += n
         if self.use_imu and not visual_only:
-            o = self.nf + self.ncam * self.C
+            o = self.osh
             for k in range(self.F - 1):
                 S[r:r + 9, 9 * k:9 * k + 18] = 1
                 S[r:r + 9, o:o + 9] = 1
@@ -394,7 +464,7 @@ class CpuVIProblem:
 
 
 def solve_cpu(frame_times, pixels, visible, p3d, imu_times=None, gyro=None,
-              accel=None, intr0=None, T_ck0=None, verbose=0):
+              accel=None, intr0=None, T_ck0=None, verbose=0, models=None):
     """Staged CPU solve: visual-only (camera-0 extrinsics held, the
     reference's gauge fix, vicalibrator.h:558-600), rotation-only
     inertial, then full VI.
@@ -407,10 +477,18 @@ def solve_cpu(frame_times, pixels, visible, p3d, imu_times=None, gyro=None,
     Returns (dict of recovered parameters, wall seconds, problem).
     """
     prob = CpuVIProblem(frame_times, pixels, visible, p3d, imu_times, gyro,
-                        accel, fix_extrinsics={0})
+                        accel, fix_extrinsics={0}, models=models)
     C, F, P = prob.C, prob.F, prob.P
     if intr0 is None:
-        intr0 = [np.array([300.0, 300.0, 400.0, 300.0])] * C
+        # f=300, c=center, distortion 0 (fov w init 0.2) — the reference's
+        # inits (vicalib-engine.cc:207-257)
+        intr0 = []
+        for c in range(C):
+            base = np.zeros(prob.npar[c])
+            base[:4] = [300.0, 300.0, 400.0, 300.0]
+            if prob.models[c] == "fov":
+                base[4] = 0.2
+            intr0.append(base)
 
     ident = np.array([0.0, 0.0, 0.0, 1.0])
     if T_ck0 is None:
@@ -430,7 +508,7 @@ def solve_cpu(frame_times, pixels, visible, p3d, imu_times=None, gyro=None,
     vel = np.zeros(prob.n, bool)
     for f in range(F):
         vel[9 * f + 6:9 * f + 9] = True
-    osh = prob.nf + prob.ncam * C
+    osh = prob.osh
 
     # stage 1: visual-only, frames + intrinsics; camera-0 extrinsics held
     # (the reference's gauge fix, vicalibrator.h:558-600)
