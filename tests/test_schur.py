@@ -1,4 +1,6 @@
 """Structured-solve unit tests: cyclic reduction vs block-Thomas vs dense."""
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -181,4 +183,40 @@ def test_shared_covariance_float32():
     # shared_covariance upcasts to f64 internally (the reduced system's
     # ~1e12 conditioning exceeds f32); only the f32 rounding of the input
     # state/data remains
+    np.testing.assert_allclose(d32[active], d64[active], rtol=0.05)
+
+
+def test_shared_covariance_f32_process(tmp_path):
+    """The engine never enables jax_enable_x64; shared_covariance must
+    still deliver f64-quality covariance from a default f32 process (it
+    scopes jax.enable_x64(True) internally) — VERDICT r4 #7.
+    Runs the f32 computation in a subprocess with x64 OFF and compares
+    against the in-process f64 result."""
+    import subprocess
+    import sys
+
+    from vicalib_tpu.io import sim
+    from vicalib_tpu.solver import StageFlags
+    from vicalib_tpu.solver.build import problem_from_sim
+    from vicalib_tpu.solver.stages import shared_covariance
+
+    out = tmp_path / "cov32.npz"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_ENABLE_X64", None)
+    worker = os.path.join(os.path.dirname(__file__), "cov_f32_worker.py")
+    subprocess.run([sys.executable, worker, str(out)], check=True, env=env,
+                   cwd=os.path.dirname(os.path.dirname(worker)), timeout=600)
+    d32 = np.load(out)["diag"]
+
+    cfg = sim.default_mono_config(n_frames=6, model="linear", imu=True,
+                                  imu_rate=50.0)
+    data_sim = sim.simulate(cfg)
+    flags = StageFlags(calibrate_imu=True, inertial_active=True,
+                       rotation_only=False, bias_active=True,
+                       scale_active=True, optimize_time_offset=True)
+    data64, state64 = problem_from_sim(data_sim, use_imu=True,
+                                       window_slack=0.1)
+    d64 = np.diag(shared_covariance(state64, data64, flags))
+    active = d64 > 1e-18
+    assert np.all(np.isfinite(d32))
     np.testing.assert_allclose(d32[active], d64[active], rtol=0.05)

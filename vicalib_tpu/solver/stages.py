@@ -406,17 +406,28 @@ def shared_covariance(state: CalibState, data: ProblemData,
     reduced system S_red = C - B^T A^-1 B evaluated undamped at the solution;
     inactive tangent entries carry identity rows/cols.
     """
-    from .assemble import assemble
-    from .schur import tridiag_solve
-    from .weights import imu_weights
-
     # Always computed in float64: the reduced system's conditioning
     # (~1e12) exceeds float32 — measured on the f32 path, variances came
     # out orders of magnitude too small because the stabilizing jitter
     # dominates the true small-curvature directions.  One assemble + one
     # small inverse at the very end of a calibration is off the hot path,
-    # so the f64 cost (emulated on TPU) is irrelevant.
-    if state.t_wk.dtype != jnp.float64 and jax.config.jax_enable_x64:
+    # so the f64 cost (emulated on TPU) is irrelevant.  ``enable_x64``
+    # scopes the upgrade to this call, so a default f32 TPU process (the
+    # engine never flips the global flag) still gets the f64 math.
+    if state.t_wk.dtype != jnp.float64:
+        with jax.enable_x64(True):
+            return _shared_covariance_impl(state, data, flags, gyro_sigma,
+                                           accel_sigma)
+    return _shared_covariance_impl(state, data, flags, gyro_sigma,
+                                   accel_sigma)
+
+
+def _shared_covariance_impl(state, data, flags, gyro_sigma, accel_sigma):
+    from .assemble import assemble
+    from .schur import tridiag_solve
+    from .weights import imu_weights
+
+    if state.t_wk.dtype != jnp.float64:
         up = lambda x: (x.astype(jnp.float64)
                         if hasattr(x, "dtype")
                         and jnp.issubdtype(x.dtype, jnp.floating) else x)
@@ -454,5 +465,9 @@ def shared_covariance(state: CalibState, data: ProblemData,
     dscale = 1.0 / jnp.sqrt(d)
     S_scaled = (S_red * dscale[:, None] * dscale[None, :]
                 + eps * jnp.eye(S, dtype=dtype))
-    inv_scaled = jnp.linalg.inv(S_scaled)
-    return np.asarray(inv_scaled * dscale[:, None] * dscale[None, :])
+    # final (S, S) inversion on the host: S ~ 25, and XLA:TPU has no f64
+    # LuDecomposition (verified on hardware — "Only F32 and C64 types are
+    # implemented in LuDecomposition"); numpy f64 is exact and free here
+    inv_scaled = np.linalg.inv(np.asarray(S_scaled))
+    ds = np.asarray(dscale)
+    return inv_scaled * ds[:, None] * ds[None, :]

@@ -60,7 +60,8 @@ class StreamingCalibrator:
                  dtype=None, window_slack=0.35, calibrate_imu=True,
                  optimize_time_offset=True, options=None,
                  gyro_sigma=None, accel_sigma=None, stats_callback=None,
-                 time_offset_guess=0.0):
+                 time_offset_guess=0.0, remove_outliers=False,
+                 outlier_threshold=2.0):
         import jax.numpy as jnp
 
         from .solver.lm import LMOptions
@@ -79,6 +80,8 @@ class StreamingCalibrator:
         self.accel_sigma = accel_sigma or IMU_ACCEL_SIGMA
         self.stats_callback = stats_callback
         self.time_offset_guess = float(time_offset_guess)
+        self.remove_outliers = bool(remove_outliers)
+        self.outlier_threshold = float(outlier_threshold)
         self.last_result = None        # StagedResult of the latest solve
         self._last_data = None         # ProblemData of the latest solve
 
@@ -182,6 +185,40 @@ class StreamingCalibrator:
         result = run_staged(state, data, flags, self.options,
                             gyro_sigma=self.gyro_sigma,
                             accel_sigma=self.accel_sigma, resume=resume)
+        if self.remove_outliers:
+            # Per-chunk outlier pass on the converged state (the reference's
+            # RemoveOutliers + one re-solve semantics, vicalibrator.h:859-916,
+            # applied at the streaming cadence): observations beyond
+            # threshold * per-camera RMSE are invalidated PERSISTENTLY (the
+            # visible mask feeds every later chunk's rebuild) and the
+            # current chunk re-solves once without them.
+            from .solver.stages import remove_outliers as _ro
+
+            data2 = _ro(result.state, data, result.cam_rmse,
+                        self.outlier_threshold)
+            n_removed = 0
+            for c in range(self._C):
+                keep = (np.asarray(data2.obs[c].valid)
+                        .reshape(cap, self._P)[:F] > 0)
+                removed = self.visible[c, :F] & ~keep
+                n_removed += int(removed.sum())
+                self.visible[c, :F] &= keep
+            if n_removed:
+                log.info("stream outliers: removed %d observations; "
+                         "re-solving chunk", n_removed)
+                final_flags = StageFlags(
+                    calibrate_imu=use_imu, inertial_active=use_imu,
+                    rotation_only=False, bias_active=use_imu,
+                    scale_active=use_imu,
+                    optimize_time_offset=(use_imu
+                                          and self.optimize_time_offset))
+                result = run_staged(result.state, data2, final_flags,
+                                    self.options,
+                                    gyro_sigma=self.gyro_sigma,
+                                    accel_sigma=self.accel_sigma,
+                                    resume=True)
+                data = data2
+                flags = final_flags
         self._state = result.state
         self._schedule_done = True
         self.last_result = result
