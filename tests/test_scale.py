@@ -105,3 +105,46 @@ def test_sharded_four_camera_matches_single():
         state, lam, nu, sh.sharded_weight(W), fm, sm, zero, rot)
     np.testing.assert_allclose(float(cost1), float(cost8), rtol=1e-12)
     np.testing.assert_allclose(float(trial1), float(trial8), rtol=1e-8)
+
+
+def test_frame_major_padding_parity(monkeypatch):
+    """Above FRAME_MAJOR_MAX_F the frame-major kernels pad the frame axis
+    to a multiple of the pad quantum with inert rows (the r5 workaround for
+    the XLA:TPU factorization fault at e.g. F=10240 — see
+    tools/xla_fault_repro.py).  The padded outputs must equal the unpadded
+    ones exactly."""
+    from vicalib_tpu.solver import residuals as R
+    from vicalib_tpu.solver.robust import SoftL1
+
+    cfg = sim.default_mono_config(n_frames=10, model="linear")
+    data_sim = sim.simulate(cfg)
+    data, state = problem_from_sim(data_sim)
+    obs = data.obs[0]
+    cmask = jnp.ones((10, 12 + 4), jnp.float64)
+
+    ref_sq = R.reproj_frame_sq(state, obs, 0, "linear")
+    ref_s, ref_G = R.reproj_frame_gram_fast(state, obs, 0, "linear", cmask,
+                                            SoftL1(0.5))
+    # force the padding path: every F > 4 pads to a multiple of 16
+    monkeypatch.setattr(R, "FRAME_MAJOR_MAX_F", 4)
+    monkeypatch.setattr(R, "_FRAME_PAD_QUANTUM", 16)
+    assert R.frame_major_pad(10) == 6
+    pad_sq = R.reproj_frame_sq(state, obs, 0, "linear")
+    pad_s, pad_G = R.reproj_frame_gram_fast(state, obs, 0, "linear", cmask,
+                                            SoftL1(0.5))
+    assert pad_sq.shape == ref_sq.shape
+    assert pad_G.shape == ref_G.shape
+    np.testing.assert_array_equal(np.asarray(pad_sq), np.asarray(ref_sq))
+    np.testing.assert_array_equal(np.asarray(pad_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(pad_G), np.asarray(ref_G))
+
+    # the jvp-Gram path pads identically
+    ref_s2, ref_G2 = None, None
+    monkeypatch.setattr(R, "FRAME_MAJOR_MAX_F", 8192)
+    ref_s2, ref_G2 = R.reproj_frame_gram(state, obs, 0, "linear", cmask,
+                                         SoftL1(0.5))
+    monkeypatch.setattr(R, "FRAME_MAJOR_MAX_F", 4)
+    pad_s2, pad_G2 = R.reproj_frame_gram(state, obs, 0, "linear", cmask,
+                                         SoftL1(0.5))
+    np.testing.assert_array_equal(np.asarray(pad_s2), np.asarray(ref_s2))
+    np.testing.assert_array_equal(np.asarray(pad_G2), np.asarray(ref_G2))

@@ -56,8 +56,12 @@ GRAM_ENABLED = _os.environ.get("VICALIB_GRAM", "1") != "0"
 
 
 def _frame_major_max():
-    from .residuals import FRAME_MAJOR_MAX_F
-    return FRAME_MAJOR_MAX_F
+    # r5: frame counts above FRAME_MAJOR_MAX_F are padded to a multiple of
+    # 4096 inside the frame-major kernels (residuals.frame_major_pad),
+    # which dodges the XLA:TPU factorization fault up to the hardware-
+    # verified FRAME_MAJOR_SAFE_MAX; beyond that the reverse path remains.
+    from .residuals import FRAME_MAJOR_SAFE_MAX
+    return FRAME_MAJOR_SAFE_MAX
 
 
 def robust_costs(state: CalibState, data: ProblemData, weight_sqrt,
@@ -66,14 +70,14 @@ def robust_costs(state: CalibState, data: ProblemData, weight_sqrt,
     """Total robust cost (0.5 * sum rho(|r|^2), the Ceres convention) plus
     per-camera raw squared-error sums for RMSE reporting
     (reference: vicalibrator.h:959-971 evaluates without loss)."""
-    from .residuals import FRAME_MAJOR_MAX_F, reproj_frame_sq
+    from .residuals import FRAME_MAJOR_SAFE_MAX, reproj_frame_sq
 
     cost = jnp.zeros((), state.t_wk.dtype)
     cam_sq = []
     cam_cnt = []
     for c, obs in enumerate(data.obs):
         if obs.points_per_frame is not None and \
-                data.n_frames <= FRAME_MAJOR_MAX_F:
+                data.n_frames <= FRAME_MAJOR_SAFE_MAX:
             s = reproj_frame_sq(state, obs, c,
                                 data.layout.model_names[c]).reshape(-1)
         else:

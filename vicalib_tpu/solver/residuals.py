@@ -85,10 +85,37 @@ GRAM_CHUNK_ABOVE_ROWS = 1_000_000
 # frame-major cost primal trigger it independently; the flat
 # per-observation paths, the dense-interp IMU windows, and the
 # concatenation-based accumulation never do, and everything is clean at
-# F = 8192).  Above this frame count the solver falls back to the
-# per-observation reverse-mode assembly, which is slower (~3x at config-5
-# scale) but proven at 10k+ frames.
+# F = 8192).
+#
+# r5 mapped the trigger (tools/xla_fault_repro.py + /tmp-matrix runs of the
+# full config-5 program on a real v5e): the fault keys on the FRAME COUNT'S
+# FACTORIZATION, not its size — F = 10240 (2.5 x 4096) and 9216
+# (2.25 x 4096) fault at every scan chunking tried, while 12288 (3 x 4096)
+# and 16384 (4 x 4096) run clean AND fast (1077 / 1245 frames/s).  So:
+# above FRAME_MAJOR_MAX_F the frame-major kernels PAD their frame axis to
+# the next multiple of _FRAME_PAD_QUANTUM with inert rows (valid = 0,
+# geometry replicated from frame 0 so everything stays finite) and slice
+# the outputs back.  Verified clean up to FRAME_MAJOR_SAFE_MAX; beyond it
+# the solver still falls back to the per-observation reverse path.
 FRAME_MAJOR_MAX_F = int(_os.environ.get("VICALIB_FRAME_MAJOR_MAX", "8192"))
+FRAME_MAJOR_SAFE_MAX = int(_os.environ.get("VICALIB_FRAME_MAJOR_SAFE_MAX",
+                                           "16384"))
+_FRAME_PAD_QUANTUM = 4096
+
+
+def frame_major_pad(F: int) -> int:
+    """Rows of inert padding the frame-major kernels add at this F."""
+    if F <= FRAME_MAJOR_MAX_F or F % _FRAME_PAD_QUANTUM == 0:
+        return 0
+    return -(-F // _FRAME_PAD_QUANTUM) * _FRAME_PAD_QUANTUM - F
+
+
+def _pad_frame_args(pad, *arrays):
+    """Append ``pad`` inert rows to each (F, ...) array by replicating its
+    first row (finite geometry guaranteed); the caller zero-pads validity
+    separately so the rows contribute exactly nothing."""
+    return tuple(jnp.concatenate(
+        [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]) for a in arrays)
 
 
 # ----------------------------------------------------------------- reprojection
@@ -189,7 +216,16 @@ def reproj_frame_gram(state: CalibState, obs: CameraObs, cam: int,
 
     vper = jax.vmap(lambda qw, tw, pw, pc, v, m: per_frame(
         (qw, tw, pw, pc, v, m)))
-    args = (state.q_wk, state.t_wk, pw_f, pc_f, valid_f, col_mask)
+    pad = frame_major_pad(F)
+    if pad:
+        q_wk, t_wk, pw_p, pc_p, cmask = _pad_frame_args(
+            pad, state.q_wk, state.t_wk, pw_f, pc_f, col_mask)
+        valid_p = jnp.concatenate(
+            [valid_f, jnp.zeros((pad, P), valid_f.dtype)])
+        args = (q_wk, t_wk, pw_p, pc_p, valid_p, cmask)
+        F = F + pad
+    else:
+        args = (state.q_wk, state.t_wk, pw_f, pc_f, valid_f, col_mask)
 
     # Bound the live (chunk, k+1, P, 2) forward intermediates: above ~1M
     # observation rows a single full-width vmap keeps hundreds of MB of
@@ -202,7 +238,8 @@ def reproj_frame_gram(state: CalibState, obs: CameraObs, cam: int,
     # compiles clean (verified on a real v5e at F=10240, C=4).
     CHUNK = GRAM_CHUNK
     if F * P <= GRAM_CHUNK_ABOVE_ROWS or F < 2 * CHUNK:
-        return vper(*args)
+        s, G = vper(*args)
+        return (s[:F - pad], G[:F - pad]) if pad else (s, G)
 
     nc, rem = divmod(F, CHUNK)
     head = jax.tree_util.tree_map(
@@ -216,7 +253,7 @@ def reproj_frame_gram(state: CalibState, obs: CameraObs, cam: int,
             lambda a: a[nc * CHUNK:], args))
         s = jnp.concatenate([s, s_t], axis=0)
         G = jnp.concatenate([G, G_t], axis=0)
-    return s, G
+    return (s[:F - pad], G[:F - pad]) if pad else (s, G)
 
 
 def reproj_frame_sq(state: CalibState, obs: CameraObs, cam: int,
@@ -243,6 +280,13 @@ def reproj_frame_sq(state: CalibState, obs: CameraObs, cam: int,
         r = (model.project(p_cam, intr) - pc) * valid[:, None]
         return jnp.sum(r * r, axis=1)
 
+    pad = frame_major_pad(F)
+    if pad:
+        q_wk, t_wk, pw_f, pc_f = _pad_frame_args(
+            pad, state.q_wk, state.t_wk, pw_f, pc_f)
+        valid_f = jnp.concatenate(
+            [valid_f, jnp.zeros((pad, P), valid_f.dtype)])
+        return jax.vmap(per_frame)(q_wk, t_wk, pw_f, pc_f, valid_f)[:F]
     return jax.vmap(per_frame)(state.q_wk, state.t_wk, pw_f, pc_f, valid_f)
 
 
@@ -315,10 +359,20 @@ def reproj_frame_gram_fast(state: CalibState, obs: CameraObs, cam: int,
         return s, G
 
     vper = jax.vmap(per_frame)
-    args = (state.q_wk, state.t_wk, pw_f, pc_f, valid_f, col_mask)
+    pad = frame_major_pad(F)
+    if pad:
+        q_wk, t_wk, pw_p, pc_p, cmask = _pad_frame_args(
+            pad, state.q_wk, state.t_wk, pw_f, pc_f, col_mask)
+        valid_p = jnp.concatenate(
+            [valid_f, jnp.zeros((pad, P), valid_f.dtype)])
+        args = (q_wk, t_wk, pw_p, pc_p, valid_p, cmask)
+        F = F + pad
+    else:
+        args = (state.q_wk, state.t_wk, pw_f, pc_f, valid_f, col_mask)
     CHUNK = GRAM_CHUNK
     if F < 2 * CHUNK:
-        return vper(*args)
+        s, G = vper(*args)
+        return (s[:F - pad], G[:F - pad]) if pad else (s, G)
     # bound intermediates at scale exactly like reproj_frame_gram
     nc, rem = divmod(F, CHUNK)
     head = jax.tree_util.tree_map(
@@ -332,7 +386,7 @@ def reproj_frame_gram_fast(state: CalibState, obs: CameraObs, cam: int,
             lambda a: a[nc * CHUNK:], args))
         s = jnp.concatenate([s, s_t], axis=0)
         G = jnp.concatenate([G, G_t], axis=0)
-    return s, G
+    return (s[:F - pad], G[:F - pad]) if pad else (s, G)
 
 
 def reproj_residuals_and_jacobians(state: CalibState, obs: CameraObs,
