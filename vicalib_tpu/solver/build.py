@@ -100,14 +100,18 @@ def build_problem(
     layout = SharedLayout.create(model_names)
 
     obs = []
-    fidx = np.repeat(np.arange(F, dtype=np.int32), P)
-    p_w = np.tile(points_3d, (F, 1))
+    fidx = jnp.asarray(np.repeat(np.arange(F, dtype=np.int32), P))
+    # committed device arrays in the problem dtype: every solver stage call
+    # passes ProblemData as pytree args, so numpy leaves would be host-cast
+    # and re-uploaded per call (~7 MB x stages at headline scale over the
+    # remote tunnel); device-resident leaves upload exactly once
+    p_w = jnp.asarray(np.tile(points_3d, (F, 1)), dtype)
     for c in range(C):
         obs.append(CameraObs(
             frame_idx=fidx,
-            p_w=p_w.astype(np.float64),
-            p_c=pixels[c].reshape(F * P, 2).astype(np.float64),
-            valid=visible[c].reshape(F * P).astype(np.float64),
+            p_w=p_w,
+            p_c=jnp.asarray(pixels[c].reshape(F * P, 2), dtype),
+            valid=jnp.asarray(visible[c].reshape(F * P), dtype),
             points_per_frame=P,
         ))
 
@@ -137,10 +141,14 @@ def build_problem(
         t_w, g_w, a_w = gather_windows(
             np.asarray(imu_times), np.asarray(gyro), np.asarray(accel),
             win["idx0"], win["n_slots"])
-        imu = ImuFactors(win_times=t_w, win_gyro=g_w, win_accel=a_w,
-                         start=win["start"], end=win["end"],
-                         has_meas=win["has_meas"],
-                         frame_i=np.arange(F - 1, dtype=np.int32),
+        imu = ImuFactors(win_times=jnp.asarray(t_w, dtype),
+                         win_gyro=jnp.asarray(g_w, dtype),
+                         win_accel=jnp.asarray(a_w, dtype),
+                         start=jnp.asarray(win["start"], dtype),
+                         end=jnp.asarray(win["end"], dtype),
+                         has_meas=jnp.asarray(win["has_meas"]),
+                         frame_i=jnp.asarray(
+                             np.arange(F - 1, dtype=np.int32)),
                          consecutive=True, slack=float(window_slack))
 
     data = ProblemData(obs=obs, imu=imu, layout=layout, n_frames=F)
