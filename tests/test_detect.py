@@ -121,3 +121,34 @@ def test_native_grid_matcher_parity(rendered):
         assert m_cc.ok == m_np.ok
         np.testing.assert_array_equal(m_cc.grid_coords, m_np.grid_coords)
         assert m_cc.n_matched == m_np.n_matched
+
+
+def test_detection_under_lens_distortion():
+    """Image-in pipeline with a DISTORTED camera: frames rendered through
+    poly3 (strong barrel), detected and grid-matched, with sub-pixel
+    centers validated against the distorted analytic projections — the
+    detection surface is model-independent and must not assume straight
+    dot rows."""
+    cfg = sim.default_mono_config(n_frames=2, model="poly3",
+                                  distance=0.42, orbit_radius=0.25)
+    cfg.cameras[0].params[:4] = [240.0, 240.0, 200.0, 150.0]
+    cfg.cameras[0].params[4:7] = [-0.25, 0.06, -0.01]
+    cfg.cameras[0].width, cfg.cameras[0].height = 400, 300
+    data = sim.simulate(cfg)
+    imgs = sim.render_frames(data, cam=0)
+    params = ConicParams(max_conics=256)
+    target = cfg.target
+    for k in range(len(imgs)):
+        out = find_conics(jnp.asarray(imgs[k], jnp.float32), params)
+        centers = np.asarray(out["center"])
+        valid = np.asarray(out["valid"])
+        m = match_target(centers, np.asarray(out["radius"]), valid, target)
+        assert m.ok, f"frame {k}: no grid match under distortion"
+        # matched centers vs distorted GT projections
+        sel = m.grid_coords[:, 0] >= 0
+        gidx = m.grid_coords[sel, 1] * target.cols + m.grid_coords[sel, 0]
+        det = centers[sel]
+        gt = data.pixels[0, k][gidx]
+        err = np.linalg.norm(det - gt, axis=1)
+        assert np.median(err) < 0.05, np.median(err)
+        assert (np.asarray(data.visible[0, k])[gidx]).mean() > 0.9
