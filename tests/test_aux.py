@@ -219,3 +219,43 @@ def test_report_inertial_block(tmp_path):
     for needle in ("Inertial parameters", "gyro bias", "time offset",
                    "gravity"):
         assert needle in text, needle
+
+
+def test_status_server_live_endpoint(tmp_path):
+    """-status_port: the headless live-GUI analog must serve the latest
+    stats snapshot as JSON and the (rewritten-per-chunk) HTML report with
+    a refresh header (vicalib-engine.cc:108, 388-432 surface)."""
+    import json
+    import urllib.request
+
+    from vicalib_tpu.status import StatusServer
+    from vicalib_tpu.utils import CalibrationStats, CalibrationStatus
+
+    report = tmp_path / "report.html"
+    srv = StatusServer(0, report_path=str(report)).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        # before any stats: starting
+        d = json.load(urllib.request.urlopen(base + "/stats.json",
+                                             timeout=10))
+        assert d["status"] == "starting"
+        # publish a snapshot
+        stats = CalibrationStats(2, status=CalibrationStatus.OPTIMIZING)
+        stats.reprojection_error = [0.05, 0.07]
+        stats.num_iterations = 12
+        stats.total_mse = 1e-4
+        srv.publish(stats)
+        d = json.load(urllib.request.urlopen(base + "/stats.json",
+                                             timeout=10))
+        assert d["status"] == "optimizing"
+        assert d["reprojection_error"] == [0.05, 0.07]
+        assert d["num_iterations"] == 12
+        # no report yet: minimal live page
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"calibration running" in page
+        # once the report exists it is served with a refresh injection
+        report.write_text("<html><head></head><body>REPORT</body></html>")
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"REPORT" in page and b"refresh" in page
+    finally:
+        srv.stop()

@@ -376,3 +376,59 @@ def test_engine_streaming_with_clock_skew(dataset, tmp_path):
     assert result.success, result.stats
     assert abs(result.stats.ts - skew) < 1e-3, result.stats.ts
     assert result.stats.reprojection_error[0] < 0.1
+
+
+def test_engine_image_in_distorted_camera(tmp_path):
+    """Full image-in calibration of a DISTORTED camera: frames rendered
+    through a strong poly3 barrel, written to disk, driven through the
+    engine (detect -> match -> PnP -> solve) — must recover the distortion
+    to the fit-quality floor.  Closes the loop the per-stage tests cover
+    piecewise (distorted detection, distorted oracle, distorted solve)."""
+    root = tmp_path / "poly3_ds"
+    (root / "images").mkdir(parents=True)
+    cfg_sim = sim.default_mono_config(n_frames=12, model="poly3",
+                                      distance=0.42, orbit_radius=0.25,
+                                      seed=2)
+    cfg_sim.cameras[0].params[:4] = [240.0, 240.0, 200.0, 150.0]
+    cfg_sim.cameras[0].params[4:7] = [-0.25, 0.06, -0.01]
+    cfg_sim.cameras[0].width, cfg_sim.cameras[0].height = 400, 300
+    data = sim.simulate(cfg_sim)
+    imgs = sim.render_frames(data, cam=0)
+    for k, img in enumerate(imgs):
+        sources.write_pgm(str(root / "images" / f"f_{k:04d}.pgm"), img)
+    np.savetxt(str(root / "images" / "timestamps.txt"), data.frame_times)
+
+    cfg = VicalibConfig(
+        cam=f"file://{root}/images/*.pgm",
+        models="poly3",
+        use_only_when_static=False,
+        output=str(tmp_path / "cameras.xml"),
+    )
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = VicalibEngine(cfg).run()
+    finally:
+        os.chdir(cwd)
+    assert result.success, result.stats
+    assert result.stats.reprojection_error[0] < 0.05
+    est = result.stats.cam_intrinsics[0]
+    true_p = cfg_sim.cameras[0].params
+    np.testing.assert_allclose(est[:4], true_p[:4], atol=3.0)
+    # distortion: function-space parity over the observed field (individual
+    # high-order k's are degenerate on 12 frames — see test_cpu_reference)
+    from vicalib_tpu.solver.cpu_reference import project_np
+
+    uv = data.pixels[0][data.visible[0]]
+    r_obs = np.hypot((uv[:, 0] - true_p[2]) / true_p[0],
+                     (uv[:, 1] - true_p[3]) / true_p[1])
+    rng = np.random.default_rng(0)
+    r = rng.uniform(0, np.percentile(r_obs, 80), 300)
+    a = rng.uniform(0, 2 * np.pi, 300)
+    pc = np.stack([r * np.cos(a), r * np.sin(a), np.ones(300)], axis=1)
+    err = np.linalg.norm(project_np("poly3", pc, true_p[:7])
+                         - project_np("poly3", pc, np.asarray(est[:7])),
+                         axis=1)
+    assert np.percentile(err, 95) < 1.0, np.percentile(err, 95)

@@ -100,6 +100,9 @@ class VicalibConfig:
     frame_rate_hint: float = 10.0   # for sources without timestamps
     compute_covariance: bool = False  # reference: COMPUTE_VICALIB_COVARIANCE
     stream_chunk: int = 0           # >0: incremental solve every N frames
+    status_port: int = 0            # >0: serve live stats/report over HTTP
+    #                                 (the headless analog of the live GUI;
+    #                                 0 picks off; see status.py)
                                     # (the reference's background-solver
                                     # live mode, vicalib-engine.cc:375-433)
     checkpoint_file: str = ""       # native mid-solve checkpoint (npz)

@@ -306,6 +306,32 @@ class VicalibEngine:
         from .solver.lm import LMOptions
 
         cfg = self.cfg
+        status_server = None
+        if cfg.status_port > 0:
+            # live observability (vicalib-engine.cc:108, 388-432 polls
+            # CalibrationStats for the GUI every 30 ms): serve the latest
+            # stats + the (per-chunk rewritten) HTML report over HTTP
+            from .status import StatusServer
+
+            status_server = StatusServer(cfg.status_port,
+                                         report_path=cfg.report_file
+                                         or None).start()
+            inner = self.update_stats
+
+            def update_with_status(s):
+                status_server.publish(s)
+                inner(s)
+
+            self.update_stats = update_with_status
+        try:
+            return self._run(cfg, jnp, StageFlags, run_staged,
+                             build_problem, LMOptions)
+        finally:
+            if status_server is not None:
+                status_server.stop()
+
+    def _run(self, cfg, jnp, StageFlags, run_staged, build_problem,
+             LMOptions) -> EngineResult:
         if not cfg.cam:
             raise ValueError("No camera URI given")
         camera = sources.parse_camera_uri(cfg.cam)
