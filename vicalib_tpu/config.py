@@ -49,6 +49,11 @@ class VicalibConfig:
     conic_min_area: float = 4.0
     conic_min_density: float = 0.6
     conic_min_aspect: float = 0.2
+    # sub-pixel center refinement (detect/conics.refine_centers; no
+    # reference analog — Calibu's ConicFinder refines differently); 0
+    # disables and falls back to the component-moments centroid
+    conic_refine_iters: int = 3
+    conic_refine_power: float = 2.0
 
     # --- optimization (vicalib-engine.cc:35-42, 94-104; vicalib-task.cc:21-24)
     calibrate_imu: bool = True

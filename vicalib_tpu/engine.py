@@ -52,7 +52,9 @@ def _detect_all(images, target, cfg, max_conics=512):
     params = ConicParams(max_conics=max_conics,
                          min_area=cfg.conic_min_area,
                          min_density=cfg.conic_min_density,
-                         min_aspect=cfg.conic_min_aspect)
+                         min_aspect=cfg.conic_min_aspect,
+                         refine_iters=cfg.conic_refine_iters,
+                         refine_power=cfg.conic_refine_power)
 
     # Chunked pipelined detection (same pattern the measured bench pipeline
     # uses, bench.py detect_bench): frames upload as uint8 (4x less
