@@ -16,7 +16,7 @@ import numpy as np
 
 from ..cameras import get_model
 from ..detect import pnp
-from ..geometry import quat_np, se3
+from ..geometry import quat_np
 from ..imu import build_windows, gather_windows
 from .assemble import ProblemData
 from .problem import CalibState, SharedLayout, init_state
