@@ -87,16 +87,23 @@ GRAM_CHUNK_ABOVE_ROWS = 1_000_000
 # concatenation-based accumulation never do, and everything is clean at
 # F = 8192).
 #
-# r5 mapped the trigger (tools/xla_fault_repro.py + /tmp-matrix runs of the
-# full config-5 program on a real v5e): the fault keys on the FRAME COUNT'S
-# FACTORIZATION, not its size — F = 10240 (2.5 x 4096) and 9216
-# (2.25 x 4096) fault at every scan chunking tried, while 12288 (3 x 4096)
-# and 16384 (4 x 4096) run clean AND fast (1077 / 1245 frames/s).  So:
-# above FRAME_MAJOR_MAX_F the frame-major kernels PAD their frame axis to
-# the next multiple of _FRAME_PAD_QUANTUM with inert rows (valid = 0,
-# geometry replicated from frame 0 so everything stays finite) and slice
-# the outputs back.  Verified clean up to FRAME_MAJOR_SAFE_MAX; beyond it
-# the solver still falls back to the per-observation reverse path.
+# r5 mapped the trigger (tools/xla_fault_repro.py + probe-matrix runs of
+# the full config-5 program on a real v5e): the fault keys on the FRAME
+# COUNT'S FACTORIZATION, not its size — with GRAM_CHUNK = 2048,
+# F = 10240 (2.5 x 4096) and 9216 (2.25 x 4096) fault while 12288
+# (3 x 4096) and 16384 (4 x 4096) run clean AND fast (1077 / 1245
+# frames/s).  So: above FRAME_MAJOR_MAX_F the frame-major kernels PAD
+# their frame axis to the next multiple of _FRAME_PAD_QUANTUM with inert
+# rows (valid = 0, geometry replicated from frame 0 so everything stays
+# finite) and slice the outputs back.  Verified clean up to
+# FRAME_MAJOR_SAFE_MAX; beyond it the solver still falls back to the
+# per-observation reverse path.
+#
+# CAUTION: GRAM_CHUNK = 2048 is part of the verified-clean configuration.
+# F = 10240 padded to 12288 runs clean with chunk 2048 but FAULTS with
+# chunk 3072 or 4096 (and unpadded 10240 faults at 1280/2048/2560) —
+# the env knobs above are for debugging, not tuning; any change must be
+# re-verified on hardware with 3+ consecutive full runs.
 FRAME_MAJOR_MAX_F = int(_os.environ.get("VICALIB_FRAME_MAJOR_MAX", "8192"))
 FRAME_MAJOR_SAFE_MAX = int(_os.environ.get("VICALIB_FRAME_MAJOR_SAFE_MAX",
                                            "16384"))
