@@ -46,6 +46,131 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def configs_1_to_4():
+    """Measure BASELINE configs 1-4 (config 5 has its own mode):
+
+      1. mono poly2, intrinsics-only, simulated detections
+      2. stereo FOV, joint intrinsics+extrinsics, large grid
+      3. mono KB4 + IMU biases/scales (calibrate_imu)
+      4. full VI stereo with time-offset estimation (the headline workload)
+
+    Per config: staged solve to convergence, median-of-3 wall, accuracy
+    gates (intrinsics within the vi_sim ||d||<5; T_ck/biases/offset within
+    vi_sim-class tolerances where estimated).  Run:
+    ``python bench.py --configs``; one JSON line per config.
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    from vicalib_tpu.geometry import se3
+    from vicalib_tpu.io import sim
+    from vicalib_tpu.solver import StageFlags, run_staged
+    from vicalib_tpu.solver.build import problem_from_sim
+    from vicalib_tpu.targets.grid import load_preset
+
+    dtype = jnp.float32
+    log("devices:", jax.devices())
+    rows = []
+
+    def measure(name, cfg, flags, gates, n_frames, fix_intr=False):
+        data_sim = sim.simulate(cfg)
+        def once():
+            data, state = problem_from_sim(
+                data_sim, use_imu=flags.calibrate_imu, window_slack=0.1,
+                dtype=dtype, use_ransac=False)
+            return run_staged(state, data, flags)
+        result = once()                                # warmup/compile
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            result = once()
+            walls.append(time.time() - t0)
+        wall = float(np.median(walls))
+        ok = gates(result)
+        fps = 0.0 if not ok else n_frames / wall
+        log(f"{name}: {wall:.3f}s = {fps:.1f} f/s rmse={result.cam_rmse} "
+            f"iters={result.total_iterations} ok={ok}")
+        rows.append({"metric": f"{name}_frames_per_s",
+                     "value": round(fps, 2), "unit": "frames/s",
+                     "vs_baseline": round(fps / BASELINE_FRAMES_PER_S, 2)})
+        return result
+
+    # --- config 1: mono poly2 intrinsics-only
+    F1 = 96
+    cfg1 = sim.default_mono_config(n_frames=F1, model="poly2",
+                                   pixel_noise=0.1)
+
+    def gates1(r):
+        intr = np.asarray(r.state.intr[0][:4])
+        return (float(max(r.cam_rmse)) < 0.105
+                and np.linalg.norm(intr - cfg1.cameras[0].params[:4]) < 5)
+
+    measure("config1", cfg1, StageFlags(calibrate_imu=False), gates1, F1)
+
+    # --- config 2: stereo FOV joint intrinsics+extrinsics, large grid
+    F2 = 96
+    cfg2 = sim.default_stereo_vi_config(n_frames=F2, model="fov",
+                                        pixel_noise=0.1)
+    cfg2.cameras[0].params[4] = 0.85
+    cfg2.cameras[1].params[4] = 0.82
+    cfg2.target = load_preset("large")
+
+    def gates2(r):
+        true_T = (jnp.asarray(cfg2.cameras[1].T_ck[0], dtype),
+                  jnp.asarray(cfg2.cameras[1].T_ck[1], dtype))
+        # camera-1 relative to camera-0 (gauge): compare T_c1k * T_c0k^-1
+        est_rel = se3.mul((r.state.q_ck[1], r.state.p_ck[1]),
+                          se3.inverse((r.state.q_ck[0], r.state.p_ck[0])))
+        true_rel = se3.mul(true_T, se3.inverse(
+            (jnp.asarray(cfg2.cameras[0].T_ck[0], dtype),
+             jnp.asarray(cfg2.cameras[0].T_ck[1], dtype))))
+        err = float(np.linalg.norm(np.asarray(
+            se3.log(se3.mul(est_rel, se3.inverse(true_rel))))))
+        return float(max(r.cam_rmse)) < 0.105 and err < 1e-3
+
+    measure("config2", cfg2, StageFlags(calibrate_imu=False), gates2, F2)
+
+    # --- config 3: mono KB4 + IMU biases/scales
+    F3 = 128
+    cfg3 = sim.default_mono_config(
+        n_frames=F3, model="kb4", imu=True, imu_rate=100.0,
+        pixel_noise=0.1, gyro_bias=np.array([0.01, -0.02, 0.015]),
+        accel_bias=np.array([0.05, 0.02, -0.04]))
+
+    def gates3(r):
+        bg = np.asarray(r.state.biases[:3])
+        return (float(max(r.cam_rmse)) < 0.105
+                and np.allclose(bg, cfg3.gyro_bias, atol=2e-3))
+
+    measure("config3", cfg3,
+            StageFlags(calibrate_imu=True, optimize_time_offset=False),
+            gates3, F3)
+
+    # --- config 4: full VI stereo with time-offset estimation
+    F4 = N_FRAMES
+    cfg4 = sim.default_stereo_vi_config(
+        n_frames=F4, model="linear", imu_rate=100.0, pixel_noise=0.1,
+        gyro_bias=np.array([0.01, -0.02, 0.015]),
+        accel_bias=np.array([0.05, 0.02, -0.04]), time_offset=0.004)
+
+    def gates4(r):
+        true_T = (jnp.asarray(cfg4.cameras[0].T_ck[0], dtype),
+                  jnp.asarray(cfg4.cameras[0].T_ck[1], dtype))
+        err = float(np.linalg.norm(np.asarray(se3.log(se3.mul(
+            (r.state.q_ck[0], r.state.p_ck[0]), se3.inverse(true_T))))))
+        off_err = abs(float(r.state.time_offset) - cfg4.time_offset)
+        return (float(max(r.cam_rmse)) < 0.105 and err < 1e-3
+                and off_err < 1e-4)
+
+    measure("config4", cfg4,
+            StageFlags(calibrate_imu=True, optimize_time_offset=True),
+            gates4, F4)
+
+    for row in rows:
+        print(json.dumps(row))
+
+
 def config5():
     """BASELINE config 5: 4-camera rig, 10k+ frames, full VI staged solve.
 
@@ -591,6 +716,8 @@ def main():
 if __name__ == "__main__":
     if "--config5" in sys.argv:
         config5()
+    elif "--configs" in sys.argv:
+        configs_1_to_4()
     elif "--detect" in sys.argv:
         detect_bench()
     elif "--baseline-cpu" in sys.argv:

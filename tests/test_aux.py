@@ -259,3 +259,22 @@ def test_status_server_live_endpoint(tmp_path):
         assert b"REPORT" in page and b"refresh" in page
     finally:
         srv.stop()
+
+
+def test_large_grid_pattern_generation():
+    """24x36 grids cannot have collision-free 4x4 windows (birthday bound:
+    ~2800 windows over 2^16 codes), so make_pattern scales the uniqueness
+    window to 5x5 there — while the 10x19 presets keep their exact k=4
+    patterns (fixtures and printed targets must not change)."""
+    import numpy as np
+
+    from vicalib_tpu.targets.grid import (_windows_unique, load_preset,
+                                          make_pattern)
+
+    g = load_preset("large").grid
+    assert g.shape == (24, 36)
+    assert _windows_unique(g, k=5)
+    # the classic preset is bit-stable across the k heuristic
+    m = make_pattern(10, 19, 71)
+    assert _windows_unique(m, k=4)
+    assert m.shape == (10, 19) and m.sum() == 104

@@ -53,15 +53,23 @@ def _windows_unique(grid: np.ndarray, k: int = 4) -> bool:
 
 
 def make_pattern(rows: int = 10, cols: int = 19, seed: int = 71) -> np.ndarray:
-    """Seeded random binary dot pattern with unique 4x4 windows.
+    """Seeded random binary dot pattern with unique k x k windows.
 
     Reference analog: calibu::MakePattern (called at vicalib-engine.cc:460-461
     with the -grid_height/-grid_width/-grid_seed flags).
+
+    The window size adapts to the grid: 4x4 windows carry 16 bits, so once
+    a grid has more than ~500 windows (x4 rotations) the birthday bound
+    makes a collision-free 4x4 pattern essentially impossible — large grids
+    (e.g. the 24x36 preset) use 5x5 windows instead.  Grids that fit the
+    4x4 budget keep k=4, so existing patterns are bit-identical.
     """
+    n_win = 4 * max(rows - 3, 0) * max(cols - 3, 0)
+    k = 4 if n_win <= 1000 else 5
     for attempt in range(1000):
         rng = np.random.default_rng(seed + 100003 * attempt)
         grid = (rng.random((rows, cols)) < 0.5).astype(np.int32)
-        if _windows_unique(grid):
+        if _windows_unique(grid, k=k):
             return grid
     raise RuntimeError("could not generate a unique pattern; try another seed")
 
