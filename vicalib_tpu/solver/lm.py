@@ -57,6 +57,15 @@ class LMOptions:
     # numerically indistinguishable at convergence and saves the propagation
     # cost.  Set 1 for exact per-iteration reference semantics.
     weight_refresh: int = 4
+    # Plateau stop: if the BEST cost seen does not improve by
+    # >= ftol * cost for this many consecutive iterations, declare
+    # convergence.  Catches the churn regime where the periodic whitening
+    # refresh perturbs the cost just enough that per-iteration "progress"
+    # never ends (observed: time-offset stages burning the full
+    # 200-iteration budget on ~1e-7 net relative decreases).  Tracking the
+    # running best makes refresh-cycle oscillation count as stalling.
+    # Spans two full weight-refresh cycles.
+    stall_iters: int = 8
 
 
 @dataclasses.dataclass
@@ -166,11 +175,11 @@ def fused_solve(data: ProblemData, state: CalibState, fmask, smask,
         lam0 = jnp.asarray(options.lam0, dtype)
 
         def cond(carry):
-            _, _, _, _, _, it, done = carry
+            _, _, _, _, _, _, _, it, done = carry
             return (~done) & (it < options.max_iters)
 
         def body(carry):
-            state, lam, nu, W_prev, _, it, done = carry
+            state, lam, nu, W_prev, _, best, stall, it, done = carry
             refresh = (it % options.weight_refresh) == 0
             W = _get_weights(data, state, seed_weight, use_cov_weights,
                              sigmas, carry_weight=W_prev, refresh=refresh)
@@ -189,12 +198,18 @@ def fused_solve(data: ProblemData, state: CalibState, fmask, smask,
             converged |= (~accept) & (pred_max > 0) & (pred_max < ftol_gate)
             converged |= (gnorm > 0) & (gnorm < options.gradient_tolerance)
             converged |= lam >= options.lam_max
-            return (new_state, new_lam, new_nu, W,
-                    jnp.where(accept, trial_cost, cost), it + 1, converged)
+            cur = jnp.where(accept, trial_cost, cost)
+            improved = (best - cur) >= ftol_gate
+            new_best = jnp.minimum(best, cur)
+            new_stall = jnp.where(improved, 0, stall + 1)
+            converged |= new_stall >= options.stall_iters
+            return (new_state, new_lam, new_nu, W, cur, new_best,
+                    new_stall, it + 1, converged)
 
         init = (state, lam0, jnp.asarray(2.0, dtype), seed_weight,
-                jnp.asarray(jnp.inf, dtype), 0, jnp.asarray(False))
-        (state, lam, nu, _, cost, it,
+                jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+                0, 0, jnp.asarray(False))
+        (state, lam, nu, _, cost, _, _, it,
          done) = jax.lax.while_loop(cond, body, init)
         W = _get_weights(data, state, seed_weight, use_cov_weights, sigmas)
         final_cost, cam_sq, cam_cnt = robust_costs(
