@@ -265,6 +265,11 @@ def _pad_to_tiles(imgs):
     return imgs, H, W
 
 
+MAX_BATCH = 32      # frames per device dispatch (HBM bound: the moments
+#                     pipeline materializes ~(B, H*W, 9) f32 intermediates —
+#                     measured OOM at B=64 x 800x600 on a 16 GB v5e)
+
+
 def find_conics_batch(imgs, params: ConicParams = ConicParams(),
                       at_threshold=0.9, at_window_ratio=30.0,
                       black_on_white=True, backend="auto"):
@@ -273,9 +278,18 @@ def find_conics_batch(imgs, params: ConicParams = ConicParams(),
     ``backend``: "pallas" uses the fused VMEM-resident threshold+label kernel
     (detect/pallas_kernels.py — 2 HBM frame transfers instead of ~130),
     "xla" the portable path, "auto" picks pallas on TPU.  Detections in the
-    bottom/right tile-padding are discarded.
+    bottom/right tile-padding are discarded.  Batches larger than MAX_BATCH
+    are processed in internal chunks (all dispatched before any result is
+    pulled, so upload/kernel overlap is preserved).
     """
     from .pallas_kernels import fits_vmem, threshold_and_label
+
+    if len(imgs) > MAX_BATCH:
+        outs = [find_conics_batch(imgs[i:i + MAX_BATCH], params,
+                                  at_threshold, at_window_ratio,
+                                  black_on_white, backend)
+                for i in range(0, len(imgs), MAX_BATCH)]
+        return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
 
     imgs = jnp.asarray(imgs, jnp.float32)
     B, H0, W0 = imgs.shape
