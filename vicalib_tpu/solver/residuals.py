@@ -106,7 +106,7 @@ GRAM_CHUNK_ABOVE_ROWS = 1_000_000
 # re-verified on hardware with 3+ consecutive full runs.
 FRAME_MAJOR_MAX_F = int(_os.environ.get("VICALIB_FRAME_MAJOR_MAX", "8192"))
 FRAME_MAJOR_SAFE_MAX = int(_os.environ.get("VICALIB_FRAME_MAJOR_SAFE_MAX",
-                                           "16384"))
+                                           "20480"))
 _FRAME_PAD_QUANTUM = 4096
 
 
