@@ -54,9 +54,130 @@ def test_rectify_linear_is_identity(tmp_path):
                                imgs[0][1:-1, 1:-1], atol=1)
 
 
-def test_uvc_rejected():
-    with pytest.raises(ValueError, match="uvc"):
-        sources.parse_camera_uri("uvc://0")
+class _FakeMmap:
+    """Stands in for an mmap'd V4L2 buffer: writable bytes + close()."""
+
+    def __init__(self, length):
+        self.data = bytearray(length)
+        self.closed = False
+
+    def __getitem__(self, sl):
+        return bytes(self.data[sl])
+
+    def close(self):
+        self.closed = True
+
+
+class _FakeV4l2:
+    """Simulated V4L2 kernel: a YUYV-only camera driving the full
+    negotiate -> mmap ring -> QBUF/DQBUF state machine in io/uvc.py."""
+
+    def __init__(self, width=32, height=24, n_frames=64):
+        from vicalib_tpu.io import uvc
+        self.uvc = uvc
+        self.width, self.height = width, height
+        self.frame_bytes = width * height * 2
+        self.opened = self.streaming = False
+        self.maps = {}
+        self.queued = []
+        self.seq = 0
+        self.frames = []
+        rng = np.random.default_rng(7)
+        for _ in range(n_frames):
+            y = rng.integers(0, 255, (height, width), dtype=np.uint8)
+            yuyv = np.empty((height, width * 2), np.uint8)
+            yuyv[:, 0::2] = y
+            yuyv[:, 1::2] = 128
+            self.frames.append((y, yuyv.tobytes()))
+
+    def open(self, path):
+        assert path == "/dev/video1"
+        self.opened = True
+        return 42
+
+    def close(self, fd):
+        self.opened = False
+
+    def mmap(self, fd, length, offset):
+        m = _FakeMmap(length)
+        self.maps[offset] = m
+        return m
+
+    def wait_readable(self, fd, timeout_s):
+        return True
+
+    def ioctl(self, fd, request, arg):
+        u = self.uvc
+        assert self.opened
+        if request == u.VIDIOC_QUERYCAP:
+            arg.device_caps = u.CAP_VIDEO_CAPTURE | u.CAP_STREAMING
+        elif request == u.VIDIOC_S_FMT:
+            # GREY unsupported: the driver adjusts to YUYV at its native
+            # size regardless of what was asked (standard V4L2 behavior)
+            arg.pix.pixelformat = u.PIX_FMT_YUYV
+            arg.pix.width, arg.pix.height = self.width, self.height
+            arg.pix.sizeimage = self.frame_bytes
+        elif request == u.VIDIOC_S_PARM:
+            assert arg.tpf_den == 15
+        elif request == u.VIDIOC_REQBUFS:
+            arg.count = min(arg.count, 2)  # grant fewer than asked
+        elif request == u.VIDIOC_QUERYBUF:
+            arg.length = self.frame_bytes
+            arg.m.offset = 4096 * (arg.index + 1)
+        elif request == u.VIDIOC_QBUF:
+            self.queued.append((arg.index, arg.m.offset
+                                or 4096 * (arg.index + 1)))
+        elif request == u.VIDIOC_STREAMON:
+            self.streaming = True
+        elif request == u.VIDIOC_STREAMOFF:
+            self.streaming = False
+        elif request == u.VIDIOC_DQBUF:
+            assert self.streaming and self.queued
+            idx, off = self.queued.pop(0)
+            _, raw = self.frames[self.seq % len(self.frames)]
+            self.maps[off].data[:len(raw)] = raw
+            arg.index = idx
+            arg.bytesused = len(raw)
+            arg.timestamp.tv_sec = 100 + self.seq // 15
+            arg.timestamp.tv_usec = int((self.seq % 15) / 15.0 * 1e6)
+            self.seq += 1
+        else:
+            raise AssertionError(f"unexpected ioctl {request:#x}")
+        return 0
+
+
+def test_uvc_capture_state_machine():
+    """uvc:// drives the V4L2 ring correctly and yields grayscale frames
+    with monotonic kernel timestamps (simulated YUYV device)."""
+    fake = _FakeV4l2()
+    src = sources.parse_camera_uri("uvc:[dev=/dev/video1,num=5,fps=15]//")
+    assert src.num == 5 and src.fps == 15.0
+    src.kernel = fake
+    assert src.n_frames == 5
+    assert src.num_channels == 1
+    # luma extracted from YUYV, in capture order
+    for k in range(5):
+        t, (img,) = src.frame(k)
+        np.testing.assert_array_equal(img, fake.frames[k][0])
+    batch = src.read_batch(0, [0, 3])
+    np.testing.assert_array_equal(batch[1], fake.frames[3][0])
+    stamps = src.channel_stamps(0)
+    assert stamps.shape == (5,) and np.all(np.diff(stamps) > 0)
+    np.testing.assert_allclose(stamps[1] - stamps[0], 1 / 15.0, atol=1e-6)
+    # system clock present and distinct from the device clock
+    assert src.has_system_times
+    assert src.timestamp(0, system=True) != src.timestamp(0)
+    # device released, ring unmapped, stream stopped
+    assert not fake.opened and not fake.streaming
+    assert all(m.closed for m in fake.maps.values())
+
+
+def test_uvc_device_index_and_missing_device():
+    from vicalib_tpu.io.uvc import UvcSource
+    src = sources.parse_camera_uri("uvc://3")
+    assert isinstance(src, UvcSource) and src.device == "/dev/video3"
+    with pytest.raises((OSError, ValueError)):
+        UvcSource(device="/dev/nonexistent-video", num=1).n_frames
 
 
 def test_per_channel_stamp_dedup_and_association(tmp_path):

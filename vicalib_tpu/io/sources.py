@@ -407,7 +407,9 @@ def parse_camera_uri(uri: str) -> CameraSource:
     """HAL-style camera URIs (README.md:34-42): ``file://<glob>`` /
     ``file://[g0,g1]`` / bare glob, optionally wrapped by
     ``deinterlace://...`` and ``rectify:[file=cameras.xml]//...``.
-    ``uvc://`` (live USB capture) has no replay equivalent here."""
+    ``uvc:[dev=/dev/video0,num=100,w=640,h=480,fps=30]//`` captures live
+    from a V4L2 USB camera (io/uvc.py) then replays the captured frames
+    through the same pipeline."""
     m = re.match(r"^(\w+):(\[[^\]]*\])?//(.*)$", uri)
     scheme = m.group(1).lower() if m else "file"
     opts = {}
@@ -417,9 +419,13 @@ def parse_camera_uri(uri: str) -> CameraSource:
                 k, v = kv.split("=", 1)
                 opts[k.strip()] = v.strip()
     if scheme == "uvc":
-        raise ValueError(
-            "uvc:// live capture is not supported in replay mode; "
-            "record to files and use file://")
+        from .uvc import UvcSource
+        path = m.group(3) if m else ""
+        return UvcSource(device=opts.get("dev", path or "/dev/video0"),
+                         num=int(opts.get("num", 100)),
+                         width=int(opts.get("w", 0)),
+                         height=int(opts.get("h", 0)),
+                         fps=float(opts.get("fps", 30.0)))
     if scheme == "deinterlace":
         return DeinterlaceSource(parse_camera_uri(m.group(3)))
     if scheme == "rectify":
