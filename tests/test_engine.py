@@ -432,3 +432,103 @@ def test_engine_image_in_distorted_camera(tmp_path):
                          - project_np("poly3", pc, np.asarray(est[:7])),
                          axis=1)
     assert np.percentile(err, 95) < 1.0, np.percentile(err, 95)
+
+
+def test_engine_live_uvc_capture(tmp_path, monkeypatch):
+    """Live-capture calibration: the engine pointed at a uvc:// URI runs
+    capture -> detect -> match -> PnP -> solve on frames streamed from a
+    (simulated) V4L2 GREY camera — the reference's live-camera workflow
+    (README.md:34-42) with no files on disk at all."""
+    cfg_sim = sim.default_mono_config(n_frames=12, model="linear",
+                                      distance=0.42, orbit_radius=0.25,
+                                      seed=3)
+    cfg_sim.cameras[0].params[:4] = [240.0, 240.0, 200.0, 150.0]
+    cfg_sim.cameras[0].width, cfg_sim.cameras[0].height = 400, 300
+    data = sim.simulate(cfg_sim)
+    imgs = [np.asarray(f, np.uint8) for f in sim.render_frames(data, cam=0)]
+    H, W = imgs[0].shape
+
+    from vicalib_tpu.io import uvc
+
+    class _GreyCam:
+        """Minimal V4L2 fake: native GREY at the rendered size."""
+
+        def __init__(self):
+            self.maps = {}
+            self.queued = []
+            self.seq = 0
+            self.streaming = False
+
+        def open(self, path):
+            return 9
+
+        def close(self, fd):
+            pass
+
+        def mmap(self, fd, length, offset):
+            class _M:
+                def __init__(s, n):
+                    s.data = bytearray(n)
+
+                def __getitem__(s, sl):
+                    return bytes(s.data[sl])
+
+                def close(s):
+                    pass
+
+            m = _M(length)
+            self.maps[offset] = m
+            return m
+
+        def wait_readable(self, fd, t):
+            return True
+
+        def ioctl(self, fd, req, arg):
+            if req == uvc.VIDIOC_QUERYCAP:
+                arg.device_caps = uvc.CAP_VIDEO_CAPTURE | uvc.CAP_STREAMING
+            elif req == uvc.VIDIOC_S_FMT:
+                arg.pix.pixelformat = uvc.PIX_FMT_GREY
+                arg.pix.width, arg.pix.height = W, H
+            elif req == uvc.VIDIOC_QUERYBUF:
+                arg.length = W * H
+                arg.m.offset = 4096 * (arg.index + 1)
+            elif req == uvc.VIDIOC_QBUF:
+                self.queued.append((arg.index, 4096 * (arg.index + 1)))
+            elif req == uvc.VIDIOC_STREAMON:
+                self.streaming = True
+            elif req == uvc.VIDIOC_STREAMOFF:
+                self.streaming = False
+            elif req == uvc.VIDIOC_DQBUF:
+                idx, off = self.queued.pop(0)
+                raw = imgs[self.seq % len(imgs)].tobytes()
+                self.maps[off].data[:len(raw)] = raw
+                arg.index = idx
+                arg.bytesused = len(raw)
+                arg.timestamp.tv_sec = 50 + self.seq // 10
+                arg.timestamp.tv_usec = (self.seq % 10) * 100000
+                self.seq += 1
+            return 0
+
+    monkeypatch.setattr(uvc, "RealV4l2", _GreyCam)
+
+    cfg = VicalibConfig(
+        cam="uvc:[dev=/dev/video0,num=12,fps=10]//",
+        models="linear",
+        calibrate_imu=False,
+        use_only_when_static=False,
+        output=str(tmp_path / "cameras.xml"),
+    )
+    from vicalib_tpu.engine import VicalibEngine
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = VicalibEngine(cfg).run()
+    finally:
+        os.chdir(cwd)
+    assert result.success, result.stats
+    assert result.stats.reprojection_error[0] < 0.1
+    est = result.stats.cam_intrinsics[0]
+    np.testing.assert_allclose(est[:4], cfg_sim.cameras[0].params[:4],
+                               atol=3.0)
+    assert (tmp_path / "cameras.xml").exists()
