@@ -253,6 +253,26 @@ def test_status_server_live_endpoint(tmp_path):
         # no report yet: minimal live page
         page = urllib.request.urlopen(base + "/", timeout=10).read()
         assert b"calibration running" in page
+        # no scene yet: 404
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(base + "/scene.svg", timeout=10)
+        # publish a live 3-D scene (what streaming chunks push)
+        from vicalib_tpu import viz
+        from vicalib_tpu.targets.grid import load_preset
+
+        tgt = load_preset("small")
+        q = np.tile([0.0, 0.0, 0.0, 1.0], (3, 1))
+        t = np.array([[0, 0, -0.4], [0.05, 0, -0.4], [0.1, 0, -0.4]])
+        svg = viz.scene_svg(None, tgt, q, t)
+        assert svg.startswith("<svg") and "polyline" in svg
+        srv.publish_scene(svg)
+        body = urllib.request.urlopen(base + "/scene.svg",
+                                      timeout=10).read()
+        assert body.decode() == svg
+        # the fallback live page embeds it
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"/scene.svg" in page
         # once the report exists it is served with a refresh injection
         report.write_text("<html><head></head><body>REPORT</body></html>")
         page = urllib.request.urlopen(base + "/", timeout=10).read()

@@ -260,6 +260,16 @@ class VicalibEngine:
                 write_html_report(cfg.report_file, model_names, chunk.state,
                                   cal._last_data, cal.last_result, stats,
                                   widths, heights, target=self.target)
+            server = getattr(self, "_status_server", None)
+            if server is not None:
+                # live 3-D view: current trajectory + pose triads over the
+                # target, served at GET /scene.svg (the Pangolin scene
+                # panel analog, vicalib-engine.cc:388-432)
+                from . import viz
+                st = chunk.state
+                server.publish_scene(viz.scene_svg(
+                    None, self.target, np.asarray(st.q_wk)[:chunk.n_frames],
+                    np.asarray(st.t_wk)[:chunk.n_frames]))
 
         cal = StreamingCalibrator(
             model_names, self.target.circles_3d(), widths=widths,
@@ -325,6 +335,7 @@ class VicalibEngine:
                 inner(s)
 
             self.update_stats = update_with_status
+        self._status_server = status_server
         try:
             return self._run(cfg, jnp, StageFlags, run_staged,
                              build_problem, LMOptions)

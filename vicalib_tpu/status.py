@@ -56,6 +56,7 @@ class StatusServer:
                  host: str = "127.0.0.1"):
         self._lock = threading.Lock()
         self._stats = None
+        self._scene = None
         self.report_path = report_path
         server = self
 
@@ -68,6 +69,14 @@ class StatusServer:
                     with server._lock:
                         body = json.dumps(_stats_dict(server._stats))
                     self._send(200, "application/json", body.encode())
+                    return
+                if self.path.startswith("/scene.svg"):
+                    with server._lock:
+                        svg = server._scene
+                    if svg is None:
+                        self._send(404, "text/plain", b"no scene yet")
+                    else:
+                        self._send(200, "image/svg+xml", svg.encode())
                     return
                 body = server._report_html()
                 self._send(200, "text/html; charset=utf-8", body)
@@ -97,11 +106,15 @@ class StatusServer:
                 1)
         with self._lock:
             d = _stats_dict(self._stats)
+        with self._lock:
+            have_scene = self._scene is not None
+        scene = ('<img src="/scene.svg" style="max-width:100%">'
+                 if have_scene else "")
         return (
             "<html><head><meta http-equiv='refresh' content='1'></head>"
             "<body><h2>vicalib_tpu: calibration running</h2><pre>"
-            + json.dumps(d, indent=1)
-            + "</pre><p>(full report appears here once -report_file is "
+            + json.dumps(d, indent=1) + "</pre>" + scene
+            + "<p>(full report appears here once -report_file is "
             "written)</p></body></html>").encode()
 
     def start(self):
@@ -113,6 +126,12 @@ class StatusServer:
     def publish(self, stats):
         with self._lock:
             self._stats = stats
+
+    def publish_scene(self, svg: str):
+        """Latest 3-D scene (viz.scene_svg string) for GET /scene.svg —
+        the live analog of the reference's Pangolin 3-D view."""
+        with self._lock:
+            self._scene = svg
 
     def stop(self):
         self._httpd.shutdown()

@@ -76,8 +76,11 @@ def scene_svg(path, target, q_wk, t_wk, T_ck_list=None, imu_strips=None,
             parts.append(f'<polyline points="{pl}" fill="none" '
                          'stroke="#e80" stroke-width="0.8"/>')
     parts.append("</svg>")
+    svg = "\n".join(parts) + "\n"
+    if path is None:       # callers that serve it live rather than save it
+        return svg
     with open(path, "w") as f:
-        f.write("\n".join(parts) + "\n")
+        f.write(svg)
 
 
 def detection_svg(path, image_shape, centers, valid, grid_coords=None,
